@@ -1,0 +1,85 @@
+"""BMP reader/writer (host side, NumPy).
+
+TPU-native replacement for the reference's `src/bitmap.c` (SURVEY.md component
+1): one pass over an in-memory buffer into an (H, W, 3) uint8 RGB array instead
+of a double file read into per-channel pointer arrays. Fixes the reference's
+known gaps (README.md:18-19): 4-byte row padding is handled, top-down bitmaps
+(negative height) are handled, and BITMAPINFOHEADER/V4/V5 header sizes are all
+accepted. 32-bit BGRA input is also accepted (alpha dropped).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class BmpError(ValueError):
+    """Raised for malformed or unsupported BMP files (cf. bitmap.h:14-17)."""
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Parse a BMP byte buffer into an (H, W, 3) uint8 RGB array."""
+    if len(data) < 54:
+        raise BmpError("file too small to be a BMP")
+    if data[0:2] != b"BM":
+        raise BmpError("bad magic (expected 'BM')")
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    header_size = struct.unpack_from("<I", data, 14)[0]
+    if header_size < 40:
+        raise BmpError(f"unsupported DIB header size {header_size}")
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if planes != 1:
+        raise BmpError(f"planes must be 1, got {planes}")
+    if compression not in (0, 3):  # BI_RGB or BI_BITFIELDS (accept default masks)
+        raise BmpError(f"unsupported compression {compression}")
+    if bpp not in (24, 32):
+        raise BmpError(f"unsupported bit depth {bpp} (need 24 or 32)")
+    if width <= 0 or height == 0:
+        raise BmpError(f"bad dimensions {width}x{height}")
+
+    top_down = height < 0
+    h = abs(height)
+    channels = bpp // 8
+    row_stride = (width * channels + 3) & ~3
+    needed = pixel_offset + row_stride * h
+    if len(data) < needed:
+        raise BmpError(f"truncated pixel data: have {len(data)}, need {needed}")
+
+    raw = np.frombuffer(data, dtype=np.uint8, count=row_stride * h, offset=pixel_offset)
+    rows = raw.reshape(h, row_stride)[:, : width * channels]
+    px = rows.reshape(h, width, channels)
+    if not top_down:
+        px = px[::-1]
+    # BGR(A) -> RGB (alpha, if present, is dropped)
+    return np.ascontiguousarray(px[..., [2, 1, 0]])
+
+
+def read_bmp(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        return decode_bmp(f.read())
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit bottom-up BMP bytes (BITMAPINFOHEADER)."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3), got {rgb.shape}")
+    h, w, _ = rgb.shape
+    row_stride = (w * 3 + 3) & ~3
+    img_size = row_stride * h
+    bgr = rgb[::-1, :, ::-1]  # bottom-up, RGB->BGR
+    rows = np.zeros((h, row_stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return header + rows.tobytes()
+
+
+def write_bmp(path: str, rgb: np.ndarray) -> None:
+    with open(path, "wb") as f:
+        f.write(encode_bmp(rgb))

@@ -1,0 +1,131 @@
+"""The decoder pipeline: JFIF JPEG bytes -> RGB/gray pixels.
+
+The component the reference never wrote (`src/headers/jpg_decode.h` is an empty
+include-guard shell — SURVEY.md component 16), designed from ITU-T T.81 with
+the encoder stages defining the inverse contracts:
+
+  host: JFIF parse, Huffman scan decode (per restart segment) -> device: ONE
+  jitted program [de-zigzag, dequantize, IDCT, level unshift, chroma upsample,
+  YCbCr->RGB, clip/round] -> crop to the declared frame size.
+
+Baseline sequential (SOF0/SOF1), 8-bit, 1 or 3 components, luma sampling
+factors up to (2, 2) with (1, 1) chroma — i.e. everything our encoder emits
+plus the common libjpeg output formats.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jpeg_tpu.config import Subsampling
+from jpeg_tpu.entropy import decode_np
+from jpeg_tpu.io import jfif
+from jpeg_tpu.models import layout
+from jpeg_tpu.ops import color, dct, quant, subsample, tile, zigzag
+
+
+def _mode_from_factors(h: int, v: int) -> Subsampling:
+    if (h, v) == (1, 1):
+        return Subsampling.YUV444
+    if (h, v) == (2, 1):
+        return Subsampling.YUV422
+    if (h, v) == (2, 2):
+        return Subsampling.YUV420
+    raise jfif.JpegFormatError(f"unsupported luma sampling factors {(h, v)}")
+
+
+def _reconstruct_plane(zz, qtab, blocks_shape):
+    """(N, 64) zig-zag quantized blocks -> (H, W) float plane (level-unshifted)."""
+    hb, wb = blocks_shape
+    blocks = zigzag.from_zigzag(zz.reshape(hb, wb, 64))
+    coeff = quant.dequantize(blocks, qtab)
+    plane = tile.unblockify(dct.idct_blocks(coeff))
+    return plane + 128.0
+
+
+def _finish_color(y_zz, cb_zz, cr_zz, qy, qc, yshape, cshape, mode: Subsampling):
+    y = _reconstruct_plane(y_zz, qy, yshape)
+    cb = subsample.upsample_plane(_reconstruct_plane(cb_zz, qc, cshape), mode)
+    cr = subsample.upsample_plane(_reconstruct_plane(cr_zz, qc, cshape), mode)
+    ycc = jnp.stack([y, cb, cr], axis=-1)
+    rgb = color.ycbcr_to_rgb(ycc, clip=False)
+    return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
+
+def _finish_gray(zz, qy, shape):
+    plane = _reconstruct_plane(zz, qy, shape)
+    return jnp.clip(jnp.round(plane), 0, 255).astype(jnp.uint8)
+
+
+@functools.cache
+def _jit_finish_color(yshape, cshape, mode):
+    return jax.jit(
+        functools.partial(_finish_color, yshape=yshape, cshape=cshape, mode=mode)
+    )
+
+
+@functools.cache
+def _jit_finish_gray(shape):
+    return jax.jit(functools.partial(_finish_gray, shape=shape))
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes to (H, W, 3) RGB or (H, W) gray uint8."""
+    info = jfif.parse_jpeg(data)
+    comps = info.components
+    luts = {k: decode_np.make_decode_lut(t) for k, t in info.htables.items()}
+
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcu_rows = layout.ceil_div(info.height, 8 * vmax)
+    mcu_cols = layout.ceil_div(info.width, 8 * hmax)
+    n_mcu = mcu_rows * mcu_cols
+
+    if len(comps) == 1:
+        # Non-interleaved single-component scan: MCU = one block (spec A.2.2).
+        mcu_rows = layout.ceil_div(info.height, 8)
+        mcu_cols = layout.ceil_div(info.width, 8)
+        n_mcu = mcu_rows * mcu_cols
+        mcu_layout = [(0, 1, comps[0].dc_id, comps[0].ac_id)]
+        scan_blocks = decode_np.decode_scan(
+            info.scan_data, n_mcu, mcu_layout, luts, info.restart_interval
+        )[0]
+        qy = jnp.asarray(info.qtables[comps[0].qtab_id])
+        out = np.asarray(
+            _jit_finish_gray((mcu_rows, mcu_cols))(jnp.asarray(scan_blocks), qy)
+        )
+        return out[: info.height, : info.width]
+
+    if len(comps) != 3:
+        raise jfif.JpegFormatError(f"unsupported component count {len(comps)}")
+    cy, ccb, ccr = comps
+    if (ccb.h, ccb.v) != (1, 1) or (ccr.h, ccr.v) != (1, 1):
+        raise jfif.JpegFormatError("chroma sampling factors must be (1,1)")
+    mode = _mode_from_factors(cy.h, cy.v)
+
+    mcu_layout = [
+        (0, cy.h * cy.v, cy.dc_id, cy.ac_id),
+        (1, 1, ccb.dc_id, ccb.ac_id),
+        (2, 1, ccr.dc_id, ccr.ac_id),
+    ]
+    y_scan, cb_scan, cr_scan = decode_np.decode_scan(
+        info.scan_data, n_mcu, mcu_layout, luts, info.restart_interval
+    )
+    # Scan order -> plane raster order.
+    inv = layout.inverse_permutation(mcu_rows, mcu_cols, cy.v, cy.h)
+    y_zz = y_scan[inv]
+
+    yshape = (mcu_rows * cy.v, mcu_cols * cy.h)
+    cshape = (mcu_rows, mcu_cols)
+    qy = jnp.asarray(info.qtables[cy.qtab_id])
+    qc = jnp.asarray(info.qtables[ccb.qtab_id])
+    out = np.asarray(
+        _jit_finish_color(yshape, cshape, mode)(
+            jnp.asarray(y_zz), jnp.asarray(cb_scan), jnp.asarray(cr_scan), qy, qc
+        )
+    )
+    return out[: info.height, : info.width]

@@ -1,0 +1,212 @@
+"""The encoder pipeline: BMP/array -> JFIF JPEG bytes.
+
+TPU-native replacement for `encode_bmp_to_jpeg` (src/jpg_encode.c:19-52) plus
+everything the reference left unwritten (code assignment, bit packing, JFIF
+emission — SURVEY.md component 10/11). The mutable `JpegData` blackboard
+becomes a pure function pipeline:
+
+  host: ingest -> device: [pad, RGB->YCbCr, level shift, subsample, DCT,
+  quantize, zig-zag] as ONE jitted program -> host: MCU interleave, DPCM,
+  entropy pack, JFIF assembly.
+
+The device program is traced once per (shape, subsampling) — quality enters as
+a quant-table *argument*, not a constant, so a quality sweep reuses the same
+executable (cf. the reference re-scaling global tables in place,
+src/quantise.c:34-35).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jpeg_tpu import tables as T
+from jpeg_tpu.config import EncodeConfig, Subsampling
+from jpeg_tpu.entropy import encode_np, huffman
+from jpeg_tpu.io import bmp, jfif
+from jpeg_tpu.models import layout
+from jpeg_tpu.ops import color, dct, quant, subsample, tile, zigzag
+
+
+# ---------------------------------------------------------------------------
+# Device transform: pixels -> quantized zig-zag blocks (per-component raster).
+# ---------------------------------------------------------------------------
+
+
+def _transform_color(rgb, qy, qc, mode: Subsampling):
+    """uint8 (H, W, 3), H/W already MCU-aligned -> (y_zz, cb_zz, cr_zz)."""
+    ycc = color.rgb_to_ycbcr(rgb)
+    # Level shift: all components move to [-128, 127] before the DCT
+    # (T.81 A.3.1). Chroma already carries a +128 offset from the color matrix.
+    ycc = ycc - 128.0
+    y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+    cb = subsample.downsample_plane(cb, mode)
+    cr = subsample.downsample_plane(cr, mode)
+
+    def plane_to_zz(plane, qtab):
+        coeff = dct.fdct_plane(plane)
+        qc_plane = quant.quantize_plane(coeff, qtab)
+        blocks = tile.blockify(qc_plane)
+        return zigzag.to_zigzag(blocks).reshape(-1, 64)
+
+    return plane_to_zz(y, qy), plane_to_zz(cb, qc), plane_to_zz(cr, qc)
+
+
+def _transform_gray(plane, qy):
+    x = plane.astype(jnp.float32) - 128.0
+    coeff = dct.fdct_plane(x)
+    qp = quant.quantize_plane(coeff, qy)
+    return zigzag.to_zigzag(tile.blockify(qp)).reshape(-1, 64)
+
+
+@functools.cache
+def _jit_color(mode: Subsampling):
+    return jax.jit(functools.partial(_transform_color, mode=mode))
+
+
+@functools.cache
+def _jit_gray():
+    return jax.jit(_transform_gray)
+
+
+# ---------------------------------------------------------------------------
+# Host assembly
+# ---------------------------------------------------------------------------
+
+
+def _dpcm_host(dc: np.ndarray, reset_every: int) -> np.ndarray:
+    prev = np.concatenate([[0], dc[:-1]])
+    if reset_every:
+        prev[np.arange(len(dc)) % reset_every == 0] = 0
+    return dc - prev
+
+
+def encode(
+    image,
+    quality: int = 75,
+    subsampling="420",
+    restart_interval: int | None = None,
+    optimize_tables: bool = False,
+    comment: str | None = None,
+) -> bytes:
+    """Encode an (H, W, 3) RGB or (H, W) grayscale uint8 array (or a .bmp path)
+    to baseline JFIF JPEG bytes. The capability contract of jpg_encode.h:85,
+    completed."""
+    cfg = EncodeConfig(
+        quality=quality,
+        subsampling=subsampling,
+        restart_interval=0 if restart_interval is None else restart_interval,
+        optimize_tables=optimize_tables,
+    )
+    if isinstance(image, (str, bytes)) and not isinstance(image, np.ndarray):
+        if isinstance(image, str):
+            image = bmp.read_bmp(image)
+        else:
+            image = bmp.decode_bmp(image)
+    image = np.asarray(image)
+    if image.ndim == 2:
+        return _encode_gray(image, cfg, comment)
+    if image.ndim == 3 and image.shape[2] == 3:
+        return _encode_color(image, cfg, comment)
+    raise ValueError(f"expected (H, W, 3) or (H, W) image, got {image.shape}")
+
+
+def encode_bmp_to_jpeg(input_path: str, output_path: str, quality: int = 75,
+                       subsampling="444", **kw) -> None:
+    """Drop-in analog of the reference entry point (jpg_encode.h:85)."""
+    data = encode(bmp.read_bmp(input_path), quality=quality,
+                  subsampling=subsampling, **kw)
+    with open(output_path, "wb") as f:
+        f.write(data)
+
+
+def _choose_tables(records, optimize: bool) -> dict:
+    if not optimize:
+        return huffman.standard_tables()
+    freqs = encode_np.count_frequencies(records)
+    return {k: huffman.optimal_table(v) for k, v in freqs.items()}
+
+
+def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment) -> bytes:
+    h0, w0 = image.shape[:2]
+    mode = cfg.subsampling
+    img = tile.pad_to_multiple(jnp.asarray(image), mode.mcu_height, mode.mcu_width)
+    qy = jnp.asarray(quant.luma_table(cfg.quality))
+    qc = jnp.asarray(quant.chroma_table(cfg.quality))
+    y_zz, cb_zz, cr_zz = _jit_color(mode)(img, qy, qc)
+    y_zz, cb_zz, cr_zz = (np.asarray(a) for a in (y_zz, cb_zz, cr_zz))
+
+    hp, wp = img.shape[:2]
+    hf, vf = mode.h_factor, mode.v_factor
+    mcu_rows, mcu_cols = hp // mode.mcu_height, wp // mode.mcu_width
+    n_mcu = mcu_rows * mcu_cols
+    hv = hf * vf
+
+    # Raster -> scan order per component, then interleave per MCU.
+    y_scan = y_zz[layout.mcu_scan_permutation(mcu_rows, mcu_cols, vf, hf)]
+    cb_scan = cb_zz  # chroma sampling (1,1): raster == scan
+    cr_scan = cr_zz
+
+    r = cfg.restart_interval
+    y_scan = y_scan.copy()
+    cb_scan = cb_scan.copy()
+    cr_scan = cr_scan.copy()
+    y_scan[:, 0] = _dpcm_host(y_scan[:, 0], r * hv)
+    cb_scan[:, 0] = _dpcm_host(cb_scan[:, 0], r)
+    cr_scan[:, 0] = _dpcm_host(cr_scan[:, 0], r)
+
+    bpm = hv + 2
+    blocks = np.empty((n_mcu, bpm, 64), dtype=np.int64)
+    blocks[:, :hv] = y_scan.reshape(n_mcu, hv, 64)
+    blocks[:, hv] = cb_scan
+    blocks[:, hv + 1] = cr_scan
+    blocks = blocks.reshape(-1, 64)
+    tbl = np.zeros((n_mcu, bpm), dtype=np.int64)
+    tbl[:, hv:] = 1
+    tbl = tbl.reshape(-1)
+
+    records = encode_np.build_records(blocks, tbl, tbl)
+    htables = _choose_tables(records, cfg.optimize_tables)
+    scan = encode_np.encode_scan(
+        blocks, tbl, tbl, htables,
+        restart_interval=r, blocks_per_mcu=bpm, records=records,
+    )
+
+    comps = [
+        jfif.ComponentSpec(1, hf, vf, 0, 0, 0),
+        jfif.ComponentSpec(2, 1, 1, 1, 1, 1),
+        jfif.ComponentSpec(3, 1, 1, 1, 1, 1),
+    ]
+    return jfif.write_jpeg(
+        w0, h0, comps,
+        {0: quant.luma_table(cfg.quality), 1: quant.chroma_table(cfg.quality)},
+        htables, scan, restart_interval=r, comment=comment,
+    )
+
+
+def _encode_gray(image: np.ndarray, cfg: EncodeConfig, comment) -> bytes:
+    h0, w0 = image.shape
+    img = tile.pad_to_multiple(jnp.asarray(image), 8, 8)
+    qy = jnp.asarray(quant.luma_table(cfg.quality))
+    zz = np.asarray(_jit_gray()(img, qy))  # raster == scan for one component
+
+    r = cfg.restart_interval
+    zz = zz.astype(np.int64)
+    zz[:, 0] = _dpcm_host(zz[:, 0], r)
+    tbl = np.zeros(zz.shape[0], dtype=np.int64)
+
+    records = encode_np.build_records(zz, tbl, tbl)
+    all_tables = _choose_tables(records, cfg.optimize_tables)
+    htables = {(0, 0): all_tables[(0, 0)], (1, 0): all_tables[(1, 0)]}
+    scan = encode_np.encode_scan(
+        zz, tbl, tbl, htables,
+        restart_interval=r, blocks_per_mcu=1, records=records,
+    )
+    comps = [jfif.ComponentSpec(1, 1, 1, 0, 0, 0)]
+    return jfif.write_jpeg(
+        w0, h0, comps, {0: quant.luma_table(cfg.quality)}, htables, scan,
+        restart_interval=r, comment=comment,
+    )
