@@ -123,6 +123,20 @@ def encode_bmp_to_jpeg(input_path: str, output_path: str, quality: int = 75,
         f.write(data)
 
 
+def interleave_mcus(y_scan, cb_scan, cr_scan, hv: int):
+    """Merge per-component scan-order blocks into one interleaved (B, 64) array
+    plus the per-block table-id array (0 luma / 1 chroma)."""
+    n_mcu = cb_scan.shape[0]
+    bpm = hv + 2
+    blocks = np.empty((n_mcu, bpm, 64), dtype=np.int64)
+    blocks[:, :hv] = y_scan.reshape(n_mcu, hv, 64)
+    blocks[:, hv] = cb_scan
+    blocks[:, hv + 1] = cr_scan
+    tbl = np.zeros((n_mcu, bpm), dtype=np.int64)
+    tbl[:, hv:] = 1
+    return blocks.reshape(-1, 64), tbl.reshape(-1)
+
+
 def _choose_tables(records, optimize: bool) -> dict:
     if not optimize:
         return huffman.standard_tables()
@@ -159,14 +173,7 @@ def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment) -> bytes:
     cr_scan[:, 0] = _dpcm_host(cr_scan[:, 0], r)
 
     bpm = hv + 2
-    blocks = np.empty((n_mcu, bpm, 64), dtype=np.int64)
-    blocks[:, :hv] = y_scan.reshape(n_mcu, hv, 64)
-    blocks[:, hv] = cb_scan
-    blocks[:, hv + 1] = cr_scan
-    blocks = blocks.reshape(-1, 64)
-    tbl = np.zeros((n_mcu, bpm), dtype=np.int64)
-    tbl[:, hv:] = 1
-    tbl = tbl.reshape(-1)
+    blocks, tbl = interleave_mcus(y_scan, cb_scan, cr_scan, hv)
 
     records = encode_np.build_records(blocks, tbl, tbl)
     htables = _choose_tables(records, cfg.optimize_tables)

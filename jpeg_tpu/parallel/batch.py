@@ -1,0 +1,103 @@
+"""Batched, mesh-sharded encode: BASELINE.json config 4 ("4K batch-of-64 ...
+parallel Huffman bitstream stitch"), host entropy finishing per image.
+
+The device does everything through quantized/DPCM'd coefficients and global
+symbol statistics (see parallel.shard); the host packs each image's scan —
+per restart segment, so stripes stay independent units of work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from jpeg_tpu.config import Subsampling, _as_subsampling
+from jpeg_tpu.entropy import encode_np, huffman
+from jpeg_tpu.io import jfif
+from jpeg_tpu.models.encoder import interleave_mcus
+from jpeg_tpu.ops import quant, tile
+from jpeg_tpu.parallel import shard
+from jpeg_tpu.parallel.mesh import make_mesh
+
+
+def tables_from_histograms(hists: np.ndarray) -> dict:
+    """(4, 256) [dc_luma, ac_luma, dc_chroma, ac_chroma] -> HuffTable dict."""
+    return {
+        (0, 0): huffman.optimal_table(hists[0]),
+        (1, 0): huffman.optimal_table(hists[1]),
+        (0, 1): huffman.optimal_table(hists[2]),
+        (1, 1): huffman.optimal_table(hists[3]),
+    }
+
+
+def encode_batch(
+    imgs,
+    quality: int = 75,
+    subsampling="420",
+    mesh=None,
+    stripe_restart: bool = True,
+    optimize_tables: bool = False,
+) -> list[bytes]:
+    """Encode a batch of same-sized RGB images into independent JFIF streams.
+
+    imgs: (B, H, W, 3) uint8. The device transform is sharded over
+    (batch, mcu-stripe) mesh axes; with stripe_restart each stripe becomes a
+    restart segment so entropy packing parallelizes per stripe too. With
+    optimize_tables, one set of Annex-K.2 tables is derived from the psum'd
+    global histograms and shared by the whole batch (one DHT per image, fed
+    from collective statistics).
+    """
+    imgs = np.asarray(imgs)
+    if imgs.ndim != 4 or imgs.shape[-1] != 3:
+        raise ValueError(f"expected (B, H, W, 3), got {imgs.shape}")
+    mode = _as_subsampling(subsampling)
+    if mesh is None:
+        mesh = make_mesh()
+    sp = mesh.shape["mcu"]
+    h0, w0 = imgs.shape[1], imgs.shape[2]
+
+    # Pad spatially to MCU multiples and the stripe count.
+    padded = tile.pad_to_multiple(
+        jnp.asarray(imgs).transpose(1, 2, 0, 3), mode.mcu_height * sp, mode.mcu_width
+    ).transpose(2, 0, 1, 3)
+
+    qy = quant.luma_table(quality)
+    qc = quant.chroma_table(quality)
+    y, cb, cr, hists = shard.sharded_encode_blocks(
+        padded, qy, qc, mesh, mode, stripe_restart=stripe_restart
+    )
+    y, cb, cr = np.asarray(y), np.asarray(cb), np.asarray(cr)
+    hists = np.asarray(hists)
+
+    hv = mode.h_factor * mode.v_factor
+    hp, wp = padded.shape[1], padded.shape[2]
+    mcu_cols = wp // mode.mcu_width
+    mcu_rows = hp // mode.mcu_height
+    n_mcu = mcu_rows * mcu_cols
+    dri = (mcu_rows // sp) * mcu_cols if (stripe_restart and sp > 1) else 0
+
+    htables = (
+        tables_from_histograms(hists)
+        if optimize_tables
+        else huffman.standard_tables()
+    )
+
+    comps = [
+        jfif.ComponentSpec(1, mode.h_factor, mode.v_factor, 0, 0, 0),
+        jfif.ComponentSpec(2, 1, 1, 1, 1, 1),
+        jfif.ComponentSpec(3, 1, 1, 1, 1, 1),
+    ]
+    out = []
+    for i in range(imgs.shape[0]):
+        blocks, tbl = interleave_mcus(y[i], cb[i], cr[i], hv)
+        scan = encode_np.encode_scan(
+            blocks, tbl, tbl, htables,
+            restart_interval=dri, blocks_per_mcu=hv + 2,
+        )
+        out.append(
+            jfif.write_jpeg(
+                w0, h0, comps, {0: qy, 1: qc}, htables, scan,
+                restart_interval=dri,
+            )
+        )
+    return out

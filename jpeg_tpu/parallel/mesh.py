@@ -1,0 +1,37 @@
+"""Device mesh construction for the JPEG engine.
+
+Two mesh axes (SURVEY.md §2 parallelism table):
+  * ``batch`` — data parallelism over independent images (BASELINE config 4);
+  * ``mcu``   — sequence parallelism over horizontal MCU stripes of one image,
+                the JPEG analog of context parallelism: restart segments / DC
+                predictor chains are the sequence being sharded (config 5).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(n_devices: int | None = None, batch_axis: int | None = None) -> Mesh:
+    """Build a (batch, mcu) mesh over the first n available devices.
+
+    batch_axis: size of the data-parallel axis; defaults to the largest
+    power-of-two divisor <= sqrt(n) so both axes get parallelism.
+    """
+    devices = jax.devices()
+    n = len(devices) if n_devices is None else n_devices
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    if batch_axis is None:
+        batch_axis = 1
+        while (
+            batch_axis * 2 <= n // (batch_axis * 2)
+            and n % (batch_axis * 2) == 0
+        ):
+            batch_axis *= 2
+    if n % batch_axis:
+        raise ValueError(f"{n} devices not divisible by batch axis {batch_axis}")
+    arr = np.array(devices[:n]).reshape(batch_axis, n // batch_axis)
+    return Mesh(arr, axis_names=("batch", "mcu"))

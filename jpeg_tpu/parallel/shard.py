@@ -1,0 +1,123 @@
+"""shard_map'ed encode pipeline: batch + MCU-stripe parallelism.
+
+The reference has no parallelism of any kind (SURVEY.md §2: "NONE exist");
+this module supplies the first-class mapping the TPU build owes instead:
+
+  * ``batch`` axis: independent images, pure data parallelism;
+  * ``mcu`` axis: horizontal MCU stripes of each image — the serial seams the
+    reference created (DC DPCM chain, dpcm.c:10-20; single-accumulator Huffman
+    stats, huffman.c:29-42) become:
+      - a ``ppermute`` neighbor exchange of each stripe's last DC predictor
+        (ring-style sequence parallelism over the MCU stream), and
+      - a ``psum`` of per-stripe symbol histograms into the global frequency
+        table used for Annex-K.2 optimized codes.
+
+With ``stripe_restart=True`` each stripe is emitted as a restart segment
+(DRI/RSTn), making stripes fully independent — the spec-native parallel seam —
+and the DC exchange is skipped by construction (predictor resets at RSTn).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from jpeg_tpu.config import Subsampling
+from jpeg_tpu.models import layout
+from jpeg_tpu.models.encoder import _transform_color
+from jpeg_tpu.ops import symbols
+
+
+def _stripe_step(imgs, qy, qc, *, mode: Subsampling, mcu_cols: int,
+                 stripe_restart: bool, sp: int):
+    """Per-shard body. imgs: (b_local, h_local, W, 3) — one MCU-stripe block."""
+    hf, vf = mode.h_factor, mode.v_factor
+    hv = hf * vf
+
+    def one_image(img):
+        y_zz, cb_zz, cr_zz = _transform_color(img, qy, qc, mode=mode)
+        rows_local = y_zz.shape[0] // (mcu_cols * hv)
+        perm = jnp.asarray(layout.mcu_scan_permutation(rows_local, mcu_cols, vf, hf))
+        return y_zz[perm], cb_zz, cr_zz
+
+    y, cb, cr = jax.vmap(one_image)(imgs)  # (b, n_local, 64) each, scan order
+
+    def dpcm_shard(blocks):
+        dc = blocks[:, :, 0]
+        if stripe_restart or sp == 1:
+            recv = jnp.zeros_like(dc[:, -1])
+        else:
+            recv = jax.lax.ppermute(
+                dc[:, -1], "mcu", [(i, i + 1) for i in range(sp - 1)]
+            )
+        prev = jnp.concatenate([recv[:, None], dc[:, :-1]], axis=1)
+        return blocks.at[:, :, 0].set(dc - prev)
+
+    y, cb, cr = dpcm_shard(y), dpcm_shard(cb), dpcm_shard(cr)
+
+    # Global symbol statistics: per-stripe histograms psum'd over the mesh —
+    # every shard ends with the global tables' input.
+    dc_l, ac_l = symbols.symbol_histogram(y.reshape(-1, 64))
+    dc_c1, ac_c1 = symbols.symbol_histogram(cb.reshape(-1, 64))
+    dc_c2, ac_c2 = symbols.symbol_histogram(cr.reshape(-1, 64))
+    hists = jnp.stack([dc_l, ac_l, dc_c1 + dc_c2, ac_c1 + ac_c2])
+    hists = jax.lax.psum(hists, ("batch", "mcu"))
+    return y, cb, cr, hists
+
+
+@functools.lru_cache(maxsize=64)
+def _build_sharded_fn(mesh: Mesh, mode: Subsampling, stripe_restart: bool,
+                      mcu_cols: int):
+    fn = functools.partial(
+        _stripe_step, mode=mode, mcu_cols=mcu_cols,
+        stripe_restart=stripe_restart, sp=mesh.shape["mcu"],
+    )
+    mapped = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P("batch", "mcu"), P(), P()),
+        out_specs=(P("batch", "mcu"), P("batch", "mcu"), P("batch", "mcu"), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_encode_blocks(
+    imgs,
+    qy,
+    qc,
+    mesh: Mesh,
+    mode: Subsampling = Subsampling.YUV420,
+    stripe_restart: bool = False,
+):
+    """Run the distributed transform.
+
+    imgs: (B, H, W, 3) uint8, H and W already multiples of the MCU size, with
+    B divisible by the ``batch`` axis and H/mcu_height by the ``mcu`` axis.
+
+    Returns (y, cb, cr, hists): per-component (B, N_comp, 64) int32 zig-zag
+    blocks in MCU scan order with DC already DPCM'd (cross-stripe predictors
+    exchanged via ppermute unless stripe_restart), and (4, 256) global symbol
+    histograms [dc_luma, ac_luma, dc_chroma, ac_chroma].
+    """
+    b, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    dp = mesh.shape["batch"]
+    sp = mesh.shape["mcu"]
+    if b % dp:
+        raise ValueError(f"batch {b} not divisible by batch axis {dp}")
+    if h % (mode.mcu_height * sp):
+        raise ValueError(
+            f"height {h} not divisible by {sp} stripes of {mode.mcu_height}"
+        )
+    if w % mode.mcu_width:
+        raise ValueError(f"width {w} not a multiple of {mode.mcu_width}")
+    mcu_cols = w // mode.mcu_width
+    fn = _build_sharded_fn(mesh, mode, bool(stripe_restart), mcu_cols)
+    spec = NamedSharding(mesh, P("batch", "mcu"))
+    imgs = jax.device_put(jnp.asarray(imgs), spec)
+    return fn(imgs, jnp.asarray(qy), jnp.asarray(qc))

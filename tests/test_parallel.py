@@ -1,0 +1,139 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+Checks the distributed pipeline is bit-identical to the single-device path:
+same quantized coefficients, same DPCM diffs across stripe boundaries
+(ppermute exchange), same global symbol histograms (psum), and decodable
+output streams (SURVEY.md §4 item (d), BASELINE configs 4-5).
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from jpeg_tpu import decode, encode
+from jpeg_tpu.config import Subsampling
+from jpeg_tpu.entropy import encode_np
+from jpeg_tpu.models.encoder import interleave_mcus
+from jpeg_tpu.ops import quant
+from jpeg_tpu.parallel import batch as pbatch
+from jpeg_tpu.parallel import shard
+from jpeg_tpu.parallel.mesh import make_mesh
+
+from conftest import psnr
+
+
+def _test_imgs(rng, b=4, h=64, w=48):
+    """Gradient base + mild noise: compressible but with non-trivial entropy."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.stack([xx * 255 / w, yy * 255 / h, (xx + yy) * 128 / (h + w)], -1)
+    noise = rng.integers(-12, 13, size=(b, h, w, 3))
+    return np.clip(grad[None] + noise, 0, 255).astype(np.uint8)
+
+
+def test_mesh_shapes():
+    m = make_mesh(8)
+    assert m.shape["batch"] * m.shape["mcu"] == 8
+    m2 = make_mesh(8, batch_axis=4)
+    assert m2.shape == {"batch": 4, "mcu": 2}
+    with pytest.raises(ValueError):
+        make_mesh(8, batch_axis=3)
+
+
+@pytest.mark.parametrize("mode", [Subsampling.YUV444, Subsampling.YUV420])
+@pytest.mark.parametrize("stripe_restart", [False, True])
+def test_sharded_blocks_match_single_device(rng, mode, stripe_restart):
+    imgs = _test_imgs(rng, b=2, h=mode.mcu_height * 4, w=mode.mcu_width * 3)
+    mesh = make_mesh(8, batch_axis=2)  # 2-way batch, 4-way stripes
+    qy, qc = quant.luma_table(75), quant.chroma_table(75)
+    y, cb, cr, hists = shard.sharded_encode_blocks(
+        imgs, qy, qc, mesh, mode, stripe_restart=stripe_restart
+    )
+    y, cb, cr = np.asarray(y), np.asarray(cb), np.asarray(cr)
+
+    # Single-device reference: encode() path internals, per image.
+    mesh1 = make_mesh(1, batch_axis=1)
+    y1, cb1, cr1, hists1 = shard.sharded_encode_blocks(
+        imgs, qy, qc, mesh1, mode, stripe_restart=False
+    )
+    y1, cb1, cr1 = np.asarray(y1), np.asarray(cb1), np.asarray(cr1)
+
+    if not stripe_restart:
+        np.testing.assert_array_equal(y, y1)
+        np.testing.assert_array_equal(cb, cb1)
+        np.testing.assert_array_equal(cr, cr1)
+        np.testing.assert_array_equal(np.asarray(hists), np.asarray(hists1))
+    else:
+        # AC coefficients identical; only stripe-boundary DC diffs differ.
+        np.testing.assert_array_equal(y[:, :, 1:], y1[:, :, 1:])
+        np.testing.assert_array_equal(cb[:, :, 1:], cb1[:, :, 1:])
+
+
+def test_sharded_hists_match_numpy(rng):
+    """psum'd device histograms == the NumPy record-stream frequency counts."""
+    mode = Subsampling.YUV444
+    imgs = _test_imgs(rng, b=2, h=32, w=24)
+    mesh = make_mesh(4, batch_axis=2)
+    qy, qc = quant.luma_table(60), quant.chroma_table(60)
+    y, cb, cr, hists = shard.sharded_encode_blocks(imgs, qy, qc, mesh, mode)
+    y, cb, cr = np.asarray(y), np.asarray(cb), np.asarray(cr)
+    hists = np.asarray(hists)
+
+    dc_l = np.zeros(256, np.int64)
+    ac_l = np.zeros(256, np.int64)
+    dc_c = np.zeros(256, np.int64)
+    ac_c = np.zeros(256, np.int64)
+    for i in range(imgs.shape[0]):
+        blocks, tbl = interleave_mcus(y[i], cb[i], cr[i], 1)
+        rec = encode_np.build_records(blocks, tbl, tbl)
+        f = encode_np.count_frequencies(rec)
+        dc_l += f[(0, 0)]
+        ac_l += f[(1, 0)]
+        dc_c += f[(0, 1)]
+        ac_c += f[(1, 1)]
+    np.testing.assert_array_equal(hists[0], dc_l)
+    np.testing.assert_array_equal(hists[1], ac_l)
+    np.testing.assert_array_equal(hists[2], dc_c)
+    np.testing.assert_array_equal(hists[3], ac_c)
+
+
+@pytest.mark.parametrize("optimize", [False, True])
+def test_encode_batch_streams_decodable(rng, optimize):
+    imgs = _test_imgs(rng, b=2, h=64, w=48)
+    mesh = make_mesh(8, batch_axis=2)
+    outs = pbatch.encode_batch(
+        imgs, quality=80, subsampling="420", mesh=mesh,
+        stripe_restart=True, optimize_tables=optimize,
+    )
+    assert len(outs) == 2
+    for i, jpg in enumerate(outs):
+        pil = np.asarray(Image.open(io.BytesIO(jpg)).convert("RGB"))
+        assert pil.shape == imgs[i].shape
+        assert psnr(pil, imgs[i]) > 25.0
+        ours = decode(jpg)
+        assert psnr(ours, pil) > 28.0
+
+
+def test_encode_batch_matches_unsharded_encoder(rng):
+    """Sharded batch pipeline must produce byte-identical streams to the
+    single-image encoder when stripes are disabled."""
+    imgs = _test_imgs(rng, b=2, h=64, w=48)
+    mesh = make_mesh(2, batch_axis=2)  # batch-parallel only
+    outs = pbatch.encode_batch(
+        imgs, quality=75, subsampling="420", mesh=mesh, stripe_restart=False
+    )
+    for i, jpg in enumerate(outs):
+        solo = encode(imgs[i], quality=75, subsampling="420")
+        assert jpg == solo
+
+
+def test_odd_batch_padding(rng):
+    imgs = _test_imgs(rng, b=2, h=50, w=30)  # not MCU-aligned
+    mesh = make_mesh(4, batch_axis=2)
+    outs = pbatch.encode_batch(imgs, quality=85, subsampling="420", mesh=mesh)
+    for i, jpg in enumerate(outs):
+        pil = np.asarray(Image.open(io.BytesIO(jpg)).convert("RGB"))
+        assert pil.shape == imgs[i].shape
