@@ -1,0 +1,176 @@
+"""ctypes binding for the native (C++) entropy runtime.
+
+Builds jpeg_tpu/native/entropy.cc on first use (g++ -O3, cached in
+native/build/). Falls back gracefully: callers check `available()` and use the
+NumPy codec otherwise. Env toggle JPEG_TPU_NATIVE=0 disables it.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+from jpeg_tpu.entropy.huffman import HuffTable
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent / "native"
+_BUILD_DIR = _NATIVE_DIR / "build"
+_LIB_PATH = _BUILD_DIR / "libjtentropy.so"
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    _BUILD_DIR.mkdir(exist_ok=True)
+    src = _NATIVE_DIR / "entropy.cc"
+    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return True
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        str(src), "-o", str(_LIB_PATH),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("JPEG_TPU_NATIVE", "1") == "0":
+            return None
+        if not _build():
+            return None
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.jt_encode_scan.restype = ctypes.c_long
+        lib.jt_decode_scan.restype = ctypes.c_long
+        lib.jt_version.restype = ctypes.c_int
+        if lib.jt_version() != 1:
+            return None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _code_arrays(huff: dict, is_ac: int):
+    """Stack (2, 256) code/length arrays for table ids 0/1 of one class."""
+    code = np.zeros((2, 256), dtype=np.uint32)
+    size = np.zeros((2, 256), dtype=np.uint8)
+    for tid in (0, 1):
+        t: HuffTable | None = huff.get((is_ac, tid))
+        if t is not None:
+            code[tid] = t.code.astype(np.uint32)
+            size[tid] = t.size.astype(np.uint8)
+    return code, size
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def encode_scan(
+    blocks: np.ndarray,
+    tbl: np.ndarray,
+    huff: dict,
+    restart_interval: int = 0,
+    blocks_per_mcu: int = 1,
+    nthreads: int = 0,
+) -> bytes:
+    """Native twin of encode_np.encode_scan (same contract)."""
+    lib = _load()
+    assert lib is not None
+    blocks = np.ascontiguousarray(blocks, dtype=np.int32)
+    tbl8 = np.ascontiguousarray(tbl, dtype=np.uint8)
+    nblocks = blocks.shape[0]
+    dc_code, dc_len = _code_arrays(huff, 0)
+    ac_code, ac_len = _code_arrays(huff, 1)
+    restart_blocks = int(restart_interval) * int(blocks_per_mcu)
+    nseg = 1 if restart_blocks <= 0 else max(1, -(-nblocks // restart_blocks))
+    cap = nblocks * 420 + nseg * 2 + 64
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.jt_encode_scan(
+        _ptr(blocks, ctypes.c_int32), _ptr(tbl8, ctypes.c_uint8),
+        ctypes.c_long(nblocks),
+        _ptr(dc_code, ctypes.c_uint32), _ptr(dc_len, ctypes.c_uint8),
+        _ptr(ac_code, ctypes.c_uint32), _ptr(ac_len, ctypes.c_uint8),
+        ctypes.c_long(restart_blocks),
+        _ptr(out, ctypes.c_uint8), ctypes.c_long(cap), ctypes.c_int(nthreads),
+    )
+    if n < 0:
+        raise RuntimeError(f"native encode_scan failed ({n})")
+    return out[:n].tobytes()
+
+
+def decode_scan(
+    scan: bytes,
+    mcu_count: int,
+    mcu_layout: list,
+    huff: dict,
+    restart_interval: int,
+    nthreads: int = 0,
+) -> list[np.ndarray]:
+    """Native twin of decode_np.decode_scan (same contract, huff tables not LUTs)."""
+    lib = _load()
+    assert lib is not None
+    ncomp = len(mcu_layout)
+    comp_bpm = np.array([bpm for (_, bpm, _, _) in mcu_layout], dtype=np.int32)
+    blk_comp, blk_occ, blk_tbl = [], [], []
+    # Table id per component: JPEG allows distinct DC/AC ids, but our LUT set
+    # is indexed 0/1 jointly; mcu_layout carries (dc_id, ac_id) which are equal
+    # in all streams we emit. Assert and use dc_id.
+    for ci, (_, bpm, dc_id, ac_id) in enumerate(mcu_layout):
+        for k in range(bpm):
+            blk_comp.append(ci)
+            blk_occ.append(k)
+            blk_tbl.append(dc_id)
+    blk_comp = np.array(blk_comp, dtype=np.uint8)
+    blk_occ = np.array(blk_occ, dtype=np.uint8)
+    blk_tbl = np.array(blk_tbl, dtype=np.uint8)
+    bpm_total = int(comp_bpm.sum())
+
+    dc_code = np.zeros((2, 256), dtype=np.uint32)
+    dc_len = np.zeros((2, 256), dtype=np.uint8)
+    ac_code = np.zeros((2, 256), dtype=np.uint32)
+    ac_len = np.zeros((2, 256), dtype=np.uint8)
+    for (_, bpm, dc_id, ac_id) in mcu_layout:
+        t = huff[(0, dc_id)]
+        dc_code[dc_id], dc_len[dc_id] = t.code.astype(np.uint32), t.size.astype(np.uint8)
+        t = huff[(1, ac_id)]
+        ac_code[ac_id], ac_len[ac_id] = t.code.astype(np.uint32), t.size.astype(np.uint8)
+
+    data = np.frombuffer(scan, dtype=np.uint8)
+    total_blocks = mcu_count * bpm_total
+    out = np.zeros((total_blocks, 64), dtype=np.int32)
+    err = lib.jt_decode_scan(
+        _ptr(data, ctypes.c_uint8), ctypes.c_long(len(data)),
+        ctypes.c_long(mcu_count), ctypes.c_int(bpm_total),
+        _ptr(blk_comp, ctypes.c_uint8), _ptr(blk_occ, ctypes.c_uint8),
+        _ptr(blk_tbl, ctypes.c_uint8),
+        _ptr(dc_code, ctypes.c_uint32), _ptr(dc_len, ctypes.c_uint8),
+        _ptr(ac_code, ctypes.c_uint32), _ptr(ac_len, ctypes.c_uint8),
+        ctypes.c_long(restart_interval), ctypes.c_int(ncomp),
+        _ptr(comp_bpm, ctypes.c_int32),
+        _ptr(out, ctypes.c_int32), ctypes.c_int(nthreads),
+    )
+    if err != 0:
+        raise ValueError(f"native decode_scan failed ({err})")
+    res = []
+    base = 0
+    for (_, bpm, _, _) in mcu_layout:
+        res.append(out[base : base + bpm * mcu_count])
+        base += bpm * mcu_count
+    return res

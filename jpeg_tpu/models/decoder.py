@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from jpeg_tpu.config import Subsampling
-from jpeg_tpu.entropy import decode_np
+from jpeg_tpu.entropy import decode_np, native
 from jpeg_tpu.io import jfif
 from jpeg_tpu.models import layout
 from jpeg_tpu.ops import color, dct, quant, subsample, tile, zigzag
@@ -73,11 +73,28 @@ def _jit_finish_gray(shape):
     return jax.jit(functools.partial(_finish_gray, shape=shape))
 
 
+def _decode_scan(info: jfif.FrameInfo, n_mcu: int, mcu_layout: list):
+    """Entropy-decode the scan via the native runtime when the layout allows
+    (table ids 0/1, dc_id == ac_id — always true for our own streams), else
+    the NumPy decoder."""
+    native_ok = native.available() and all(
+        dc == ac and dc in (0, 1) for (_, _, dc, ac) in mcu_layout
+    )
+    if native_ok:
+        return native.decode_scan(
+            info.scan_data, n_mcu, mcu_layout, info.htables,
+            info.restart_interval,
+        )
+    luts = {k: decode_np.make_decode_lut(t) for k, t in info.htables.items()}
+    return decode_np.decode_scan(
+        info.scan_data, n_mcu, mcu_layout, luts, info.restart_interval
+    )
+
+
 def decode(data: bytes) -> np.ndarray:
     """Decode baseline JPEG bytes to (H, W, 3) RGB or (H, W) gray uint8."""
     info = jfif.parse_jpeg(data)
     comps = info.components
-    luts = {k: decode_np.make_decode_lut(t) for k, t in info.htables.items()}
 
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
@@ -91,9 +108,7 @@ def decode(data: bytes) -> np.ndarray:
         mcu_cols = layout.ceil_div(info.width, 8)
         n_mcu = mcu_rows * mcu_cols
         mcu_layout = [(0, 1, comps[0].dc_id, comps[0].ac_id)]
-        scan_blocks = decode_np.decode_scan(
-            info.scan_data, n_mcu, mcu_layout, luts, info.restart_interval
-        )[0]
+        scan_blocks = _decode_scan(info, n_mcu, mcu_layout)[0]
         qy = jnp.asarray(info.qtables[comps[0].qtab_id])
         out = np.asarray(
             _jit_finish_gray((mcu_rows, mcu_cols))(jnp.asarray(scan_blocks), qy)
@@ -112,9 +127,7 @@ def decode(data: bytes) -> np.ndarray:
         (1, 1, ccb.dc_id, ccb.ac_id),
         (2, 1, ccr.dc_id, ccr.ac_id),
     ]
-    y_scan, cb_scan, cr_scan = decode_np.decode_scan(
-        info.scan_data, n_mcu, mcu_layout, luts, info.restart_interval
-    )
+    y_scan, cb_scan, cr_scan = _decode_scan(info, n_mcu, mcu_layout)
     # Scan order -> plane raster order.
     inv = layout.inverse_permutation(mcu_rows, mcu_cols, cy.v, cy.h)
     y_zz = y_scan[inv]

@@ -26,6 +26,7 @@ import numpy as np
 from jpeg_tpu import tables as T
 from jpeg_tpu.config import EncodeConfig, Subsampling
 from jpeg_tpu.entropy import encode_np, huffman
+from jpeg_tpu.entropy import native
 from jpeg_tpu.io import bmp, jfif
 from jpeg_tpu.models import layout
 from jpeg_tpu.ops import color, dct, quant, subsample, tile, zigzag
@@ -144,6 +145,36 @@ def _choose_tables(records, optimize: bool) -> dict:
     return {k: huffman.optimal_table(v) for k, v in freqs.items()}
 
 
+def _pack_scan(blocks, tbl, cfg: EncodeConfig, bpm: int):
+    """Entropy-pack one scan, choosing tables and the fastest backend.
+
+    Native (C++) path packs straight from coefficients; the NumPy path reuses
+    the record stream. optimize_tables needs the record stream for frequencies
+    either way.
+    """
+    records = None
+    if cfg.optimize_tables:
+        records = encode_np.build_records(blocks, tbl, tbl)
+        freqs = encode_np.count_frequencies(records)
+        htables = {k: huffman.optimal_table(v) for k, v in freqs.items()}
+    else:
+        htables = huffman.standard_tables()
+    if native.available():
+        scan = native.encode_scan(
+            blocks, tbl, htables,
+            restart_interval=cfg.restart_interval, blocks_per_mcu=bpm,
+        )
+    else:
+        if records is None:
+            records = encode_np.build_records(blocks, tbl, tbl)
+        scan = encode_np.encode_scan(
+            blocks, tbl, tbl, htables,
+            restart_interval=cfg.restart_interval, blocks_per_mcu=bpm,
+            records=records,
+        )
+    return scan, htables
+
+
 def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment) -> bytes:
     h0, w0 = image.shape[:2]
     mode = cfg.subsampling
@@ -174,13 +205,7 @@ def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment) -> bytes:
 
     bpm = hv + 2
     blocks, tbl = interleave_mcus(y_scan, cb_scan, cr_scan, hv)
-
-    records = encode_np.build_records(blocks, tbl, tbl)
-    htables = _choose_tables(records, cfg.optimize_tables)
-    scan = encode_np.encode_scan(
-        blocks, tbl, tbl, htables,
-        restart_interval=r, blocks_per_mcu=bpm, records=records,
-    )
+    scan, htables = _pack_scan(blocks, tbl, cfg, bpm)
 
     comps = [
         jfif.ComponentSpec(1, hf, vf, 0, 0, 0),
@@ -204,14 +229,8 @@ def _encode_gray(image: np.ndarray, cfg: EncodeConfig, comment) -> bytes:
     zz = zz.astype(np.int64)
     zz[:, 0] = _dpcm_host(zz[:, 0], r)
     tbl = np.zeros(zz.shape[0], dtype=np.int64)
-
-    records = encode_np.build_records(zz, tbl, tbl)
-    all_tables = _choose_tables(records, cfg.optimize_tables)
+    scan, all_tables = _pack_scan(zz, tbl, cfg, 1)
     htables = {(0, 0): all_tables[(0, 0)], (1, 0): all_tables[(1, 0)]}
-    scan = encode_np.encode_scan(
-        zz, tbl, tbl, htables,
-        restart_interval=r, blocks_per_mcu=1, records=records,
-    )
     comps = [jfif.ComponentSpec(1, 1, 1, 0, 0, 0)]
     return jfif.write_jpeg(
         w0, h0, comps, {0: quant.luma_table(cfg.quality)}, htables, scan,

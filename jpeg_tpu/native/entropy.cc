@@ -1,0 +1,347 @@
+// Native entropy runtime for the TPU JPEG engine.
+//
+// The serial inner loops XLA is wrong for — Huffman bit packing and Huffman
+// scan decoding — implemented as a small C++ library, multithreaded across
+// restart segments (the spec's parallel seam; SURVEY.md §5). This replaces
+// nothing in the reference (which never wrote a bitstream at all,
+// src/huffman.c stops at symbol statistics); design is from ITU-T T.81
+// Annex C/F.
+//
+// Build: g++ -O3 -shared -fPIC -pthread entropy.cc -o libjtentropy.so
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Bit writer with 0xFF stuffing (T.81 F.1.2.3), 64-bit accumulator.
+// ---------------------------------------------------------------------------
+struct BitWriter {
+  uint8_t* out;
+  long cap;
+  long pos = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  bool overflow = false;
+
+  inline void put(uint32_t code, int len) {
+    acc = (acc << len) | (code & ((1ull << len) - 1));
+    nbits += len;
+    while (nbits >= 8) {
+      uint8_t b = static_cast<uint8_t>(acc >> (nbits - 8));
+      nbits -= 8;
+      if (pos + 2 > cap) { overflow = true; return; }
+      out[pos++] = b;
+      if (b == 0xFF) out[pos++] = 0x00;
+    }
+  }
+
+  inline void flush() {
+    // Pad remaining bits with 1s to a byte boundary (T.81 F.1.2.1.1).
+    if (nbits > 0) {
+      int pad = 8 - nbits;
+      put((1u << pad) - 1, pad);
+    }
+  }
+};
+
+inline int bit_size(int32_t v) {
+  uint32_t m = v < 0 ? -v : v;
+  return m ? 32 - __builtin_clz(m) : 0;
+}
+
+// Encode one run of blocks into w. blocks: nblocks*64 int32 zig-zag, DC already
+// DPCM-differenced. tbl[b] selects table set 0/1.
+void encode_blocks(const int32_t* blocks, const uint8_t* tbl, long nblocks,
+                   const uint32_t* dc_code, const uint8_t* dc_len,
+                   const uint32_t* ac_code, const uint8_t* ac_len,
+                   BitWriter& w) {
+  for (long b = 0; b < nblocks && !w.overflow; ++b) {
+    const int32_t* blk = blocks + b * 64;
+    const int t = tbl[b];
+    const uint32_t* dcc = dc_code + t * 256;
+    const uint8_t* dcl = dc_len + t * 256;
+    const uint32_t* acc_ = ac_code + t * 256;
+    const uint8_t* acl = ac_len + t * 256;
+
+    int32_t diff = blk[0];
+    int size = bit_size(diff);
+    w.put(dcc[size], dcl[size]);
+    if (size) {
+      uint32_t amp = diff >= 0 ? diff : diff + (1 << size) - 1;
+      w.put(amp, size);
+    }
+
+    int run = 0;
+    for (int k = 1; k < 64; ++k) {
+      int32_t v = blk[k];
+      if (v == 0) { ++run; continue; }
+      while (run > 15) { w.put(acc_[0xF0], acl[0xF0]); run -= 16; }
+      int s = bit_size(v);
+      int sym = (run << 4) | s;
+      w.put(acc_[sym], acl[sym]);
+      uint32_t amp = v >= 0 ? v : v + (1 << s) - 1;
+      w.put(amp, s);
+      run = 0;
+    }
+    if (run > 0) w.put(acc_[0x00], acl[0x00]);  // EOB
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pack a full scan: restart_blocks = blocks per restart segment (0 = one
+// segment, no markers). Segments are packed on worker threads and stitched
+// with RSTn markers. Returns bytes written, or -1 on buffer overflow.
+long jt_encode_scan(const int32_t* blocks, const uint8_t* tbl, long nblocks,
+                    const uint32_t* dc_code, const uint8_t* dc_len,
+                    const uint32_t* ac_code, const uint8_t* ac_len,
+                    long restart_blocks, uint8_t* out, long out_cap,
+                    int nthreads) {
+  if (nblocks == 0) return 0;
+  if (restart_blocks <= 0 || restart_blocks >= nblocks) {
+    BitWriter w{out, out_cap};
+    encode_blocks(blocks, tbl, nblocks, dc_code, dc_len, ac_code, ac_len, w);
+    w.flush();
+    return w.overflow ? -1 : w.pos;
+  }
+
+  const long nseg = (nblocks + restart_blocks - 1) / restart_blocks;
+  // Worst case bytes per block: DC 27 bits + 63 AC * 26 bits, x2 for stuffing.
+  const long seg_cap = restart_blocks * 420 + 16;
+  std::vector<std::vector<uint8_t>> bufs(nseg);
+  std::vector<long> lens(nseg);
+  std::atomic<long> next{0};
+  std::atomic<bool> failed{false};
+
+  int nt = nthreads > 0 ? nthreads : (int)std::thread::hardware_concurrency();
+  if (nt > nseg) nt = (int)nseg;
+  if (nt < 1) nt = 1;
+
+  auto worker = [&]() {
+    for (;;) {
+      long s = next.fetch_add(1);
+      if (s >= nseg || failed.load(std::memory_order_relaxed)) return;
+      long lo = s * restart_blocks;
+      long hi = lo + restart_blocks;
+      if (hi > nblocks) hi = nblocks;
+      bufs[s].resize(seg_cap);
+      BitWriter w{bufs[s].data(), seg_cap};
+      encode_blocks(blocks + lo * 64, tbl + lo, hi - lo, dc_code, dc_len,
+                    ac_code, ac_len, w);
+      w.flush();
+      if (w.overflow) failed.store(true);
+      lens[s] = w.pos;
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int i = 1; i < nt; ++i) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  if (failed.load()) return -1;
+
+  long pos = 0;
+  for (long s = 0; s < nseg; ++s) {
+    if (pos + lens[s] + 2 > out_cap) return -1;
+    std::memcpy(out + pos, bufs[s].data(), lens[s]);
+    pos += lens[s];
+    if (s != nseg - 1) {
+      out[pos++] = 0xFF;
+      out[pos++] = 0xD0 + (s & 7);
+    }
+  }
+  return pos;
+}
+
+// ---------------------------------------------------------------------------
+// Decoder
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BitReader {
+  const uint8_t* data;
+  long len;
+  long pos = 0;       // byte position
+  uint64_t acc = 0;   // left-aligned bits
+  int nbits = 0;
+  bool error = false;
+
+  inline void fill() {
+    while (nbits <= 48) {
+      uint8_t b = 0;
+      if (pos < len) {
+        b = data[pos++];
+        if (b == 0xFF) {
+          if (pos < len && data[pos] == 0x00) {
+            ++pos;  // stuffing
+          } else {
+            // Hit a marker: treat as end of data (feed zero bits).
+            --pos;
+            b = 0;
+          }
+        }
+      }
+      acc = (acc << 8) | b;
+      nbits += 8;
+    }
+  }
+
+  long used = 0;  // bits consumed — overrun check against len*8
+
+  inline uint32_t peek16() {
+    fill();
+    return (uint32_t)((acc >> (nbits - 16)) & 0xFFFF);
+  }
+
+  inline void drop(int n) { nbits -= n; used += n; }
+
+  inline int32_t read_amp(int size) {
+    if (size == 0) return 0;
+    fill();
+    uint32_t v = (uint32_t)((acc >> (nbits - size)) & ((1u << size) - 1));
+    nbits -= size;
+    used += size;
+    if (v < (1u << (size - 1))) return (int32_t)v - (1 << size) + 1;
+    return (int32_t)v;
+  }
+};
+
+struct DecodeLut {
+  // Flat 16-bit-window LUT: sym<0 means invalid code.
+  std::vector<int16_t> sym;
+  std::vector<uint8_t> len;
+  void build(const uint32_t* code, const uint8_t* lens) {
+    sym.assign(1 << 16, -1);
+    len.assign(1 << 16, 0);
+    for (int v = 0; v < 256; ++v) {
+      int l = lens[v];
+      if (!l) continue;
+      uint32_t lo = code[v] << (16 - l);
+      uint32_t hi = lo + (1u << (16 - l));
+      for (uint32_t i = lo; i < hi; ++i) { sym[i] = (int16_t)v; len[i] = (uint8_t)l; }
+    }
+  }
+};
+
+// One MCU-interleaved segment. layout arrays are per block-in-MCU.
+int decode_segment(const uint8_t* data, long dlen, long first_mcu, long n_mcu,
+                   int bpm, const uint8_t* blk_comp, const uint8_t* blk_occ,
+                   const uint8_t* blk_tbl,
+                   const DecodeLut* dc_luts, const DecodeLut* ac_luts,
+                   int32_t* out, long* comp_base, int ncomp,
+                   const int* comp_bpm) {
+  BitReader r{data, dlen};
+  int32_t preds[8] = {0};
+
+  for (long m = 0; m < n_mcu; ++m) {
+    for (int bi = 0; bi < bpm; ++bi) {
+      int comp = blk_comp[bi];
+      int t = blk_tbl[bi];
+      const DecodeLut& dl = dc_luts[t];
+      const DecodeLut& al = ac_luts[t];
+      long block_index =
+          comp_base[comp] + (first_mcu + m) * comp_bpm[comp] + blk_occ[bi];
+      int32_t* blk = out + block_index * 64;
+
+      uint32_t w = r.peek16();
+      int size = dl.sym[w];
+      if (size < 0) return -2;
+      r.drop(dl.len[w]);
+      int32_t diff = r.read_amp(size);
+      preds[comp] += diff;
+      blk[0] = preds[comp];
+
+      int k = 1;
+      while (k < 64) {
+        w = r.peek16();
+        int sym = al.sym[w];
+        if (sym < 0) return -3;
+        r.drop(al.len[w]);
+        if (sym == 0) break;       // EOB
+        if (sym == 0xF0) { k += 16; continue; }
+        k += sym >> 4;
+        if (k > 63) return -4;
+        blk[k] = r.read_amp(sym & 15);
+        ++k;
+      }
+    }
+    if (r.used > dlen * 8) return -5;  // ran past the segment's real bits
+  }
+  return 0;
+}
+
+}  // namespace
+
+// Decode a full scan (data includes RSTn markers). Layout:
+//   bpm: total blocks per MCU; blk_comp/blk_tbl: per block-in-MCU component
+//   index and table id; comp_bpm: blocks per MCU per component;
+//   comp_base: starting block index of each component in `out` (blocks of one
+//   component are contiguous, scan order).
+// out must hold sum(comp_bpm)*mcu_count blocks, zero-initialized.
+// restart_interval in MCUs (0 = none). Returns 0 or negative error.
+long jt_decode_scan(const uint8_t* data, long dlen, long mcu_count,
+                    int bpm, const uint8_t* blk_comp, const uint8_t* blk_occ,
+                    const uint8_t* blk_tbl,
+                    const uint32_t* dc_code, const uint8_t* dc_len,
+                    const uint32_t* ac_code, const uint8_t* ac_len,
+                    long restart_interval, int ncomp, const int* comp_bpm,
+                    int32_t* out, int nthreads) {
+  DecodeLut dc_luts[2], ac_luts[2];
+  for (int t = 0; t < 2; ++t) {
+    dc_luts[t].build(dc_code + t * 256, dc_len + t * 256);
+    ac_luts[t].build(ac_code + t * 256, ac_len + t * 256);
+  }
+  std::vector<long> comp_base(ncomp);
+  long base = 0;
+  for (int c = 0; c < ncomp; ++c) { comp_base[c] = base; base += comp_bpm[c] * mcu_count; }
+
+  // Split on RST markers.
+  struct Seg { long off, len, first_mcu, n_mcu; };
+  std::vector<Seg> segs;
+  long r = restart_interval > 0 ? restart_interval : mcu_count;
+  long start = 0, mcu0 = 0;
+  for (long i = 0; i + 1 < dlen; ++i) {
+    if (data[i] == 0xFF && data[i + 1] >= 0xD0 && data[i + 1] <= 0xD7) {
+      long n = r < mcu_count - mcu0 ? r : mcu_count - mcu0;
+      segs.push_back({start, i - start, mcu0, n});
+      mcu0 += n;
+      start = i + 2;
+      ++i;
+    }
+  }
+  segs.push_back({start, dlen - start, mcu0, mcu_count - mcu0});
+
+  std::atomic<long> next{0};
+  std::atomic<int> err{0};
+  int nt = nthreads > 0 ? nthreads : (int)std::thread::hardware_concurrency();
+  if (nt > (int)segs.size()) nt = (int)segs.size();
+  if (nt < 1) nt = 1;
+  auto worker = [&]() {
+    for (;;) {
+      long s = next.fetch_add(1);
+      if (s >= (long)segs.size() || err.load(std::memory_order_relaxed)) return;
+      const Seg& g = segs[s];
+      if (g.n_mcu <= 0) continue;
+      int e = decode_segment(data + g.off, g.len, g.first_mcu, g.n_mcu, bpm,
+                             blk_comp, blk_occ, blk_tbl, dc_luts, ac_luts, out,
+                             comp_base.data(), ncomp, comp_bpm);
+      if (e) err.store(e);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int i = 1; i < nt; ++i) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  return err.load();
+}
+
+int jt_version() { return 1; }
+
+}  // extern "C"
