@@ -1,0 +1,126 @@
+"""Command-line driver: the L5 layer of SURVEY.md's map (replaces the
+edit-main-and-recompile jpg_driver.c with real subcommands).
+
+  python -m jpeg_tpu encode in.bmp out.jpg --quality 85 --subsampling 420
+  python -m jpeg_tpu decode in.jpg out.bmp
+  python -m jpeg_tpu roundtrip in.bmp --quality 75     # PSNR / bpp report
+  python -m jpeg_tpu info in.jpg                       # marker dump
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _add_encode_flags(p):
+    p.add_argument("--quality", "-q", type=int, default=75)
+    p.add_argument("--subsampling", "-s", default="420",
+                   choices=["444", "422", "420"])
+    p.add_argument("--restart-interval", "-r", type=int, default=0,
+                   help="MCUs per restart segment (0 = none)")
+    p.add_argument("--optimize-tables", action="store_true",
+                   help="per-image Annex-K.2 Huffman tables")
+    p.add_argument("--grayscale", action="store_true",
+                   help="encode luma only")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="jpeg_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode", help="BMP -> JPEG")
+    enc.add_argument("input")
+    enc.add_argument("output")
+    _add_encode_flags(enc)
+
+    dec = sub.add_parser("decode", help="JPEG -> BMP")
+    dec.add_argument("input")
+    dec.add_argument("output")
+
+    rt = sub.add_parser("roundtrip", help="encode+decode, report PSNR/bpp")
+    rt.add_argument("input")
+    _add_encode_flags(rt)
+
+    info = sub.add_parser("info", help="dump JPEG structure")
+    info.add_argument("input")
+
+    args = ap.parse_args(argv)
+
+    from jpeg_tpu import decode, encode
+    from jpeg_tpu.io import bmp
+
+    if args.cmd == "encode":
+        img = bmp.read_bmp(args.input)
+        if args.grayscale:
+            from jpeg_tpu.ops import color
+            import jax.numpy as jnp
+            img = np.asarray(
+                color.rgb_to_ycbcr(jnp.asarray(img))[..., 0]
+            ).round().clip(0, 255).astype(np.uint8)
+        t0 = time.time()
+        data = encode(
+            img, quality=args.quality, subsampling=args.subsampling,
+            restart_interval=args.restart_interval,
+            optimize_tables=args.optimize_tables,
+        )
+        dt = time.time() - t0
+        with open(args.output, "wb") as f:
+            f.write(data)
+        mp = img.shape[0] * img.shape[1] / 1e6
+        print(f"{args.input} -> {args.output}: {len(data)} bytes, "
+              f"{dt*1e3:.1f} ms ({mp/dt:.1f} MPix/s)")
+        return 0
+
+    if args.cmd == "decode":
+        with open(args.input, "rb") as f:
+            data = f.read()
+        t0 = time.time()
+        img = decode(data)
+        dt = time.time() - t0
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        bmp.write_bmp(args.output, img)
+        print(f"{args.input} -> {args.output}: {img.shape[1]}x{img.shape[0]}, "
+              f"{dt*1e3:.1f} ms")
+        return 0
+
+    if args.cmd == "roundtrip":
+        from jpeg_tpu.utils import metrics
+
+        img = bmp.read_bmp(args.input)
+        data = encode(
+            img, quality=args.quality, subsampling=args.subsampling,
+            restart_interval=args.restart_interval,
+            optimize_tables=args.optimize_tables,
+        )
+        out = decode(data)
+        print(f"quality={args.quality} subsampling={args.subsampling}: "
+              f"{len(data)} bytes, "
+              f"bpp={metrics.bits_per_pixel(data, img.shape):.3f}, "
+              f"PSNR={metrics.psnr(out, img):.2f} dB")
+        return 0
+
+    if args.cmd == "info":
+        from jpeg_tpu.io import jfif
+
+        with open(args.input, "rb") as f:
+            info_ = jfif.parse_jpeg(f.read())
+        print(f"{info_.width}x{info_.height}, {len(info_.components)} components")
+        for c in info_.components:
+            print(f"  comp {c.comp_id}: sampling {c.h}x{c.v}, "
+                  f"qtable {c.qtab_id}, DC/AC tables {c.dc_id}/{c.ac_id}")
+        print(f"  quant tables: {sorted(info_.qtables)}")
+        print(f"  huffman tables: {sorted(info_.htables)}")
+        print(f"  restart interval: {info_.restart_interval}")
+        print(f"  scan bytes: {len(info_.scan_data)}")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

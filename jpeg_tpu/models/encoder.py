@@ -27,6 +27,7 @@ from jpeg_tpu import tables as T
 from jpeg_tpu.config import EncodeConfig, Subsampling
 from jpeg_tpu.entropy import encode_np, huffman
 from jpeg_tpu.entropy import native
+from jpeg_tpu.ops import bitpack, dpcm as dpcm_ops
 from jpeg_tpu.io import bmp, jfif
 from jpeg_tpu.models import layout
 from jpeg_tpu.ops import color, dct, quant, subsample, tile, zigzag
@@ -68,6 +69,96 @@ def _jit_color(mode: Subsampling):
     return jax.jit(functools.partial(_transform_color, mode=mode))
 
 
+# ---------------------------------------------------------------------------
+# Fully-fused device program: pixels -> packed scan words. Only the compressed
+# stream leaves the device (SURVEY.md §7 step 6). Restart segments must tile
+# the MCU count evenly (callers fall back to host packing otherwise).
+# ---------------------------------------------------------------------------
+
+
+# Device word-buffer capacity: 8 words (256 bits) per block average. Typical
+# q75 blocks need ~30-100 bits; a stream denser than this makes the device
+# packer report a total exceeding capacity and the encoder falls back to the
+# host packer (exact, just slower), so correctness never depends on the cap.
+WORDS_PER_BLOCK = 8
+
+
+def _interleave_index(n_mcu: int, hv: int, n_y: int, n_c: int) -> np.ndarray:
+    """Static gather index: concat([y_scan, cb, cr]) -> MCU-interleaved order."""
+    m = np.arange(n_mcu)[:, None]
+    yi = m * hv + np.arange(hv)[None, :]
+    cb = n_y + m
+    cr = n_y + n_c + m
+    return np.concatenate([yi, cb, cr], axis=1).reshape(-1)
+
+
+def _transform_color_packed(
+    rgb, qy, qc, dc_code, dc_len, ac_code, ac_len, perm_y, gather, tbl, *,
+    mode: Subsampling, restart_mcus: int,
+):
+    # perm_y/gather/tbl are geometry-derived index arrays passed as runtime
+    # arguments: baking them as HLO literals made XLA compiles take minutes.
+    y_zz, cb_zz, cr_zz = _transform_color(rgb, qy, qc, mode=mode)
+    hf, vf = mode.h_factor, mode.v_factor
+    hv = hf * vf
+    h, w = rgb.shape[0], rgb.shape[1]
+    mcu_rows, mcu_cols = h // mode.mcu_height, w // mode.mcu_width
+    n_mcu = mcu_rows * mcu_cols
+
+    y_scan = y_zz[perm_y]
+    r = int(restart_mcus)
+    y_scan = y_scan.at[:, 0].set(dpcm_ops.dpcm(y_scan[:, 0], r * hv))
+    cb_zz = cb_zz.at[:, 0].set(dpcm_ops.dpcm(cb_zz[:, 0], r))
+    cr_zz = cr_zz.at[:, 0].set(dpcm_ops.dpcm(cr_zz[:, 0], r))
+
+    blocks = jnp.concatenate([y_scan, cb_zz, cr_zz], axis=0)[gather]
+
+    bits, nbits = bitpack.build_bitfields(
+        blocks, tbl, dc_code, dc_len, ac_code, ac_len
+    )
+    bpm = hv + 2
+    nblocks = n_mcu * bpm
+    if r == 0 or r >= n_mcu:
+        nwords = nblocks * WORDS_PER_BLOCK + 2
+        words, total = bitpack.pack_bits(bits, nbits, nwords)
+        return words[None], total[None]
+    # Equal restart segments (caller guarantees n_mcu % r == 0).
+    nseg = n_mcu // r
+    seg_blocks = r * bpm
+    nwords = seg_blocks * WORDS_PER_BLOCK + 2
+    bits = bits.reshape(nseg, seg_blocks * 191)
+    nbits = nbits.reshape(nseg, seg_blocks * 191)
+    return jax.vmap(lambda b, n: bitpack.pack_bits(b, n, nwords))(bits, nbits)
+
+
+@functools.cache
+def _jit_color_packed(mode: Subsampling, restart_mcus: int):
+    return jax.jit(
+        functools.partial(
+            _transform_color_packed, mode=mode, restart_mcus=restart_mcus
+        )
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _packed_geometry(mcu_rows: int, mcu_cols: int, mode: Subsampling):
+    """Device-resident index arrays for the packed pipeline of one geometry."""
+    from jpeg_tpu.models import layout
+
+    hf, vf = mode.h_factor, mode.v_factor
+    hv = hf * vf
+    n_mcu = mcu_rows * mcu_cols
+    n_y = n_mcu * hv
+    perm_y = jnp.asarray(
+        layout.mcu_scan_permutation(mcu_rows, mcu_cols, vf, hf).astype(np.int32)
+    )
+    gather = jnp.asarray(_interleave_index(n_mcu, hv, n_y, n_mcu).astype(np.int32))
+    tbl_np = np.zeros((n_mcu, hv + 2), dtype=np.int32)
+    tbl_np[:, hv:] = 1
+    tbl = jnp.asarray(tbl_np.reshape(-1))
+    return perm_y, gather, tbl
+
+
 @functools.cache
 def _jit_gray():
     return jax.jit(_transform_gray)
@@ -92,6 +183,7 @@ def encode(
     restart_interval: int | None = None,
     optimize_tables: bool = False,
     comment: str | None = None,
+    device_pack: bool | None = None,
 ) -> bytes:
     """Encode an (H, W, 3) RGB or (H, W) grayscale uint8 array (or a .bmp path)
     to baseline JFIF JPEG bytes. The capability contract of jpg_encode.h:85,
@@ -111,7 +203,7 @@ def encode(
     if image.ndim == 2:
         return _encode_gray(image, cfg, comment)
     if image.ndim == 3 and image.shape[2] == 3:
-        return _encode_color(image, cfg, comment)
+        return _encode_color(image, cfg, comment, device_pack)
     raise ValueError(f"expected (H, W, 3) or (H, W) image, got {image.shape}")
 
 
@@ -175,12 +267,53 @@ def _pack_scan(blocks, tbl, cfg: EncodeConfig, bpm: int):
     return scan, htables
 
 
-def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment) -> bytes:
+def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
+                  device_pack: bool | None = None) -> bytes:
     h0, w0 = image.shape[:2]
     mode = cfg.subsampling
     img = tile.pad_to_multiple(jnp.asarray(image), mode.mcu_height, mode.mcu_width)
     qy = jnp.asarray(quant.luma_table(cfg.quality))
     qc = jnp.asarray(quant.chroma_table(cfg.quality))
+
+    r = cfg.restart_interval
+    n_mcu = (img.shape[0] // mode.mcu_height) * (img.shape[1] // mode.mcu_width)
+    if device_pack is None:
+        device_pack = jax.default_backend() != "cpu"
+    pack_ok = (not cfg.optimize_tables) and (r == 0 or n_mcu % r == 0)
+    if device_pack and pack_ok:
+        htables = huffman.standard_tables()
+        luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(htables))
+        geom = _packed_geometry(
+            img.shape[0] // mode.mcu_height, img.shape[1] // mode.mcu_width, mode
+        )
+        words, totals = _jit_color_packed(mode, r)(img, qy, qc, *luts, *geom)
+        totals_np = np.asarray(totals)
+        if int(totals_np.max()) > words.shape[1] * 32:
+            scan = None  # stream denser than the device word cap: host pack
+        else:
+            parts = []
+            for s in range(len(totals_np)):
+                t = int(totals_np[s])
+                w_host = np.asarray(words[s, : (t + 31) // 32])
+                parts.append(bitpack.finalize_segment(w_host, t).tobytes())
+                if s != len(totals_np) - 1:
+                    parts.append(bytes([0xFF, 0xD0 + (s & 7)]))
+            scan = b"".join(parts)
+    else:
+        scan = None
+
+    if scan is not None:
+        comps = [
+            jfif.ComponentSpec(1, mode.h_factor, mode.v_factor, 0, 0, 0),
+            jfif.ComponentSpec(2, 1, 1, 1, 1, 1),
+            jfif.ComponentSpec(3, 1, 1, 1, 1, 1),
+        ]
+        return jfif.write_jpeg(
+            w0, h0, comps,
+            {0: quant.luma_table(cfg.quality), 1: quant.chroma_table(cfg.quality)},
+            htables, scan, restart_interval=r, comment=comment,
+        )
+
     y_zz, cb_zz, cr_zz = _jit_color(mode)(img, qy, qc)
     y_zz, cb_zz, cr_zz = (np.asarray(a) for a in (y_zz, cb_zz, cr_zz))
 

@@ -1,0 +1,160 @@
+"""Device-side parallel Huffman bit packing (the SURVEY.md §7 step-6 crux).
+
+Entirely data-parallel XLA: every Huffman record (code + amplitude bits)
+becomes a <=32-bit field; an exclusive prefix sum over field lengths gives bit
+offsets; fields are OR-scattered (adds on disjoint bit ranges) into a uint32
+word array with monotonic indices. Only the compressed words leave the chip —
+on a bandwidth-constrained host link this shrinks the download from ~50 MB of
+coefficients to the ~0.5 MB scan itself.
+
+All arithmetic is 32-bit (x64 stays disabled). Record channels per block:
+
+  [DC | (zrl_pair, zrl_single, code+amp) x 63 | EOB]  ->  191 records
+
+ZRL runs (up to 3 ZRL symbols before a coefficient) are split so no record
+exceeds 32 bits: a pair of ZRLs (<=32 bits since code length <=16) plus a
+single. Byte stuffing, restart markers and final 1-padding stay on the host
+(they touch only the compressed bytes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jpeg_tpu.entropy.huffman import HuffTable
+from jpeg_tpu.ops import symbols
+
+
+def luts_from_tables(huff: dict):
+    """{(is_ac, id): HuffTable} -> (dc_code, dc_len, ac_code, ac_len) stacked
+    (2, 256) arrays (uint32 / int32)."""
+    dc_code = np.zeros((2, 256), dtype=np.uint32)
+    dc_len = np.zeros((2, 256), dtype=np.int32)
+    ac_code = np.zeros((2, 256), dtype=np.uint32)
+    ac_len = np.zeros((2, 256), dtype=np.int32)
+    for (is_ac, tid), t in huff.items():
+        if tid > 1:
+            raise ValueError("device packer supports table ids 0/1")
+        if is_ac:
+            ac_code[tid] = t.code.astype(np.uint32)
+            ac_len[tid] = t.size.astype(np.int32)
+        else:
+            dc_code[tid] = t.code.astype(np.uint32)
+            dc_len[tid] = t.size.astype(np.int32)
+    return dc_code, dc_len, ac_code, ac_len
+
+
+def _amp_bits(v, size):
+    """JPEG amplitude field in uint32 (one's-complement style negatives)."""
+    amp = jnp.where(v >= 0, v, v + (1 << size) - 1)
+    return amp.astype(jnp.uint32) & ((jnp.uint32(1) << size.astype(jnp.uint32)) - 1)
+
+
+def build_bitfields(blocks, tbl, dc_code, dc_len, ac_code, ac_len):
+    """(B, 64) int32 zig-zag blocks (DC = DPCM diff), (B,) table ids ->
+    (bits (B, 191) uint32, nbits (B, 191) int32) in emission order."""
+    blocks = blocks.astype(jnp.int32)
+    tbl = tbl.astype(jnp.int32)
+
+    # DC
+    dc = blocks[:, 0]
+    dsize = symbols.bit_size(dc)
+    dbits = (dc_code[tbl, dsize] << dsize.astype(jnp.uint32)) | _amp_bits(dc, dsize)
+    dnbits = dc_len[tbl, dsize] + dsize
+
+    # AC
+    nz, run, last_nz = symbols.ac_run_lengths(blocks)
+    nz = nz[:, 1:]
+    run = jnp.where(nz, run[:, 1:], 0)
+    v = blocks[:, 1:]
+    size = jnp.where(nz, symbols.bit_size(v), 0)
+    sym = ((run & 15) << 4) | size
+    code = ac_code[tbl[:, None], sym]
+    clen = jnp.where(nz, ac_len[tbl[:, None], sym], 0)
+    cbits = jnp.where(
+        nz, (code << size.astype(jnp.uint32)) | _amp_bits(v, size), 0
+    )
+    cn = clen + size
+
+    # ZRL channels
+    zc = ac_code[tbl, 0xF0][:, None]
+    zl = ac_len[tbl, 0xF0][:, None]
+    kz = jnp.where(nz, run >> 4, 0)  # 0..3
+    pair = (zc << zl.astype(jnp.uint32)) | zc
+    n0 = jnp.minimum(kz, 2) * zl
+    b0 = jnp.where(kz >= 2, pair, jnp.where(kz == 1, zc, 0))
+    n1 = jnp.maximum(kz - 2, 0) * zl
+    b1 = jnp.where(kz >= 3, zc, 0)
+
+    # EOB
+    eob = last_nz < 63
+    ebits = jnp.where(eob, ac_code[tbl, 0], 0)
+    enbits = jnp.where(eob, ac_len[tbl, 0], 0)
+
+    ac_bits = jnp.stack([b0, b1, cbits], axis=-1).reshape(blocks.shape[0], 189)
+    ac_nbits = jnp.stack([n0, n1, cn], axis=-1).reshape(blocks.shape[0], 189)
+    bits = jnp.concatenate(
+        [dbits[:, None], ac_bits, ebits[:, None]], axis=1
+    )
+    nbits = jnp.concatenate(
+        [dnbits[:, None], ac_nbits, enbits[:, None]], axis=1
+    )
+    return bits, nbits
+
+
+def pack_bits(bits, nbits, nwords: int):
+    """Assemble (R,) <=32-bit fields into an (nwords,) uint32 big-endian word
+    stream. Returns (words, total_bits).
+
+    Scatter-free: word indices from the prefix sum are sorted and bit ranges
+    are disjoint (add == or, and uint32 wraparound cancels in differences), so
+    each output word is a *segment sum* of contributions — computed as a
+    difference of prefix sums at boundaries found with searchsorted. TPU
+    scatter lowering is serial; this formulation is all dense vector ops.
+    """
+    bits = bits.reshape(-1)
+    nbits = nbits.reshape(-1).astype(jnp.int32)
+    starts = jnp.cumsum(nbits) - nbits
+    total = starts[-1] + nbits[-1]
+
+    word = starts >> 5
+    sh = (starts & 31).astype(jnp.int32)
+    # A field occupies [sh, sh + nbits) inside a 64-bit window anchored at
+    # `word`. In 32-bit arithmetic: hi gets the first (32 - sh) bits, lo the
+    # overflow into the next word. Clamp shift amounts to [0, 31]: the
+    # unselected jnp.where branch is still evaluated, and XLA shifts >= bit
+    # width are undefined.
+    over = jnp.maximum(sh + nbits - 32, 0)  # bits that spill into word+1
+    hi = jnp.where(
+        over > 0,
+        bits >> over.astype(jnp.uint32),
+        bits << jnp.clip(32 - sh - nbits, 0, 31).astype(jnp.uint32),
+    ).astype(jnp.uint32)
+    lo = jnp.where(
+        over > 0, bits << jnp.clip(32 - over, 0, 31).astype(jnp.uint32), 0
+    ).astype(jnp.uint32)
+
+    wid = jnp.arange(nwords + 1, dtype=jnp.int32)
+    # hi contributions land at `word`; lo contributions at `word + 1`.
+    ph = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(hi)])
+    idx_h = jnp.searchsorted(word, wid)
+    out = ph[idx_h[1:]] - ph[idx_h[:-1]]
+    pl = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(lo)])
+    idx_l = jnp.searchsorted(word + 1, wid)
+    out = out + (pl[idx_l[1:]] - pl[idx_l[:-1]])
+    return out, total
+
+
+def finalize_segment(words: np.ndarray, total_bits: int) -> np.ndarray:
+    """Host side: trim to bytes, 1-pad the final byte, 0xFF-stuff."""
+    from jpeg_tpu.entropy import encode_np
+
+    total_bytes = (int(total_bits) + 7) // 8
+    raw = np.ascontiguousarray(words[: (total_bytes + 3) // 4]).astype(">u4")
+    out = raw.view(np.uint8)[:total_bytes].copy()
+    rem = int(total_bits) & 7
+    if rem:
+        out[-1] |= (1 << (8 - rem)) - 1
+    return encode_np._stuff_bytes(out)

@@ -1,0 +1,57 @@
+"""Single-JFIF mosaic encode: BASELINE.json config 5 ("gigapixel mosaic ...
+sharded across N>=2 hosts, DC/offset exchange via collectives, single JFIF").
+
+One arbitrarily large image is sharded as horizontal MCU stripes over the
+``mcu`` mesh axis (ICI within a slice; across hosts the same mesh spans DCN
+via jax.distributed.initialize — the code is identical, only mesh construction
+changes). Each stripe:
+
+  * computes its quantized/zig-zag blocks locally (transform sharded);
+  * resolves its DC predictors — with stripe restarts (default) the RSTn
+    marker resets the predictor so no exchange is needed; without restarts the
+    previous stripe's last DC arrives via ppermute (parallel.shard);
+  * is entropy-packed independently (C++ threads per restart segment).
+
+The "bitstream offset exchange" of the reference contract reduces to an
+exclusive prefix over per-stripe byte lengths because restart segments are
+byte-aligned: the host gather concatenates [stripe bytes + RSTn] in mesh
+order. The result is ONE spec-compliant JFIF stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from jpeg_tpu.parallel.batch import encode_batch
+from jpeg_tpu.parallel.mesh import make_mesh
+
+
+def encode_mosaic(
+    image,
+    quality: int = 75,
+    subsampling="420",
+    mesh=None,
+    optimize_tables: bool = False,
+) -> bytes:
+    """Encode one large image into a single JFIF stream, stripe-sharded over
+    the mesh's ``mcu`` axis. `image`: (H, W, 3) uint8, any size."""
+    image = np.asarray(image)
+    if image.ndim != 3 or image.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3), got {image.shape}")
+    if mesh is None:
+        mesh = make_mesh(batch_axis=1)
+    return encode_batch(
+        image[None],
+        quality=quality,
+        subsampling=subsampling,
+        mesh=mesh,
+        stripe_restart=True,
+        optimize_tables=optimize_tables,
+    )[0]
+
+
+def assemble_tiles(tiles) -> np.ndarray:
+    """(R, C, h, w, 3) tile grid -> (R*h, C*w, 3) mosaic array."""
+    t = np.asarray(tiles)
+    r, c, h, w, ch = t.shape
+    return t.transpose(0, 2, 1, 3, 4).reshape(r * h, c * w, ch)

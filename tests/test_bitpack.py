@@ -1,0 +1,72 @@
+"""Device-side bit packer: byte-exact differential vs host codecs."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jpeg_tpu import decode, encode
+from jpeg_tpu.entropy import encode_np, huffman
+from jpeg_tpu.ops import bitpack
+
+
+def _random_blocks(rng, n, density=0.25):
+    blocks = np.zeros((n, 64), dtype=np.int32)
+    mask = rng.random((n, 64)) < density
+    blocks[mask] = rng.integers(-300, 301, size=mask.sum())
+    blocks[:, 0] = rng.integers(-1000, 1000, size=n)
+    return blocks
+
+
+@pytest.mark.parametrize("density", [0.0, 0.1, 0.6, 1.0])
+def test_device_pack_matches_numpy(rng, density):
+    blocks = _random_blocks(rng, 40, density)
+    tbl = (rng.random(40) < 0.4).astype(np.int32)
+    huff = huffman.standard_tables()
+
+    expect = encode_np.encode_scan(blocks, tbl, tbl, huff)
+
+    luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(huff))
+    bits, nbits = bitpack.build_bitfields(jnp.asarray(blocks), jnp.asarray(tbl), *luts)
+    words, total = bitpack.pack_bits(bits, nbits, 40 * 54 + 2)
+    got = bitpack.finalize_segment(np.asarray(words), int(total)).tobytes()
+    assert got == expect
+
+
+def test_device_pack_zrl_chains(rng):
+    """Blocks forcing 1, 2 and 3 ZRL symbols (the split-channel paths)."""
+    blocks = np.zeros((4, 64), dtype=np.int32)
+    blocks[0, 20] = 5   # run 19 -> 1 ZRL
+    blocks[1, 40] = -7  # run 39 -> 2 ZRLs
+    blocks[2, 63] = 3   # run 62 -> 3 ZRLs
+    blocks[3, 1] = 1
+    blocks[3, 63] = -1  # run 61 -> 3 ZRLs
+    tbl = np.array([0, 1, 0, 1], dtype=np.int32)
+    huff = huffman.standard_tables()
+    expect = encode_np.encode_scan(blocks, tbl, tbl, huff)
+    luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(huff))
+    bits, nbits = bitpack.build_bitfields(jnp.asarray(blocks), jnp.asarray(tbl), *luts)
+    words, total = bitpack.pack_bits(bits, nbits, 4 * 54 + 2)
+    got = bitpack.finalize_segment(np.asarray(words), int(total)).tobytes()
+    assert got == expect
+
+
+@pytest.mark.parametrize("restart", [0, 2])
+def test_encode_device_pack_end_to_end(tiger, restart):
+    """encode(device_pack=True) must produce byte-identical files to the host
+    path (standard tables)."""
+    a = encode(tiger, quality=80, subsampling="420", restart_interval=restart,
+               device_pack=True)
+    b = encode(tiger, quality=80, subsampling="420", restart_interval=restart,
+               device_pack=False)
+    assert a == b
+    assert decode(a).shape == tiger.shape
+
+
+def test_device_pack_unaligned_restart_falls_back(tiger):
+    """n_mcu not divisible by r -> must silently use the host packer."""
+    jpg = encode(tiger, quality=80, subsampling="420", restart_interval=7,
+                 device_pack=True)
+    ref = encode(tiger, quality=80, subsampling="420", restart_interval=7,
+                 device_pack=False)
+    assert jpg == ref

@@ -1,0 +1,48 @@
+"""Pallas fused DCT+quantize kernel vs the XLA reference path (interpret mode
+on CPU; the same code compiles to Mosaic on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jpeg_tpu import tables
+from jpeg_tpu.ops import dct, fused, quant
+
+
+def _reference(plane, qtable):
+    coef = dct.fdct_plane(plane.astype(jnp.float32) - 128.0)
+    return np.asarray(quant.quantize_plane(coef, qtable))
+
+
+def _assert_coef_equal(got, expect):
+    """Allow a tiny rate of +-1 differences: the kernel's dot accumulation
+    order differs from the XLA einsum by an ulp, which can flip rounding at
+    exact .5 boundaries. Anything larger is a real bug."""
+    diff = got.astype(np.int64) - expect.astype(np.int64)
+    assert np.abs(diff).max() <= 1, np.abs(diff).max()
+    ndiff = int((diff != 0).sum())
+    assert ndiff <= max(8, 5e-4 * diff.size), ndiff
+
+
+@pytest.mark.parametrize("shape", [(64, 128), (8, 64), (48, 40), (128, 384)])
+def test_fused_matches_xla(rng, shape):
+    plane = rng.integers(0, 256, size=shape).astype(np.uint8)
+    got = np.asarray(
+        fused.fused_dct_quantize(jnp.asarray(plane),
+                                 jnp.asarray(tables.QUANT_LUMA), interpret=True)
+    )
+    expect = _reference(jnp.asarray(plane), tables.QUANT_LUMA)
+    _assert_coef_equal(got, expect)
+
+
+def test_fused_quality_tables(rng):
+    plane = rng.integers(0, 256, size=(32, 64)).astype(np.uint8)
+    for q in (10, 75, 95):
+        qt = quant.luma_table(q)
+        got = np.asarray(
+            fused.fused_dct_quantize(jnp.asarray(plane), jnp.asarray(qt),
+                                     interpret=True)
+        )
+        expect = _reference(jnp.asarray(plane), qt)
+        _assert_coef_equal(got, expect)

@@ -137,3 +137,23 @@ def test_odd_batch_padding(rng):
     for i, jpg in enumerate(outs):
         pil = np.asarray(Image.open(io.BytesIO(jpg)).convert("RGB"))
         assert pil.shape == imgs[i].shape
+
+
+def test_mosaic_single_jfif(rng):
+    """Config 5: tile grid -> one spec-compliant JFIF, stripe-sharded."""
+    from jpeg_tpu.parallel import mosaic
+
+    tiles = _test_imgs(rng, b=16, h=64, w=64).reshape(4, 4, 64, 64, 3)
+    big = mosaic.assemble_tiles(tiles)
+    assert big.shape == (256, 256, 3)
+    mesh = make_mesh(8, batch_axis=1)  # 8-way stripe sharding
+    jpg = mosaic.encode_mosaic(big, quality=80, mesh=mesh)
+    pil = np.asarray(Image.open(io.BytesIO(jpg)).convert("RGB"))
+    assert pil.shape == big.shape
+    assert psnr(pil, big) > 25.0
+    ours = decode(jpg)
+    assert psnr(ours, pil) > 28.0
+    # restart markers present (stripe seams)
+    from jpeg_tpu.io import jfif
+    info = jfif.parse_jpeg(jpg)
+    assert info.restart_interval > 0
