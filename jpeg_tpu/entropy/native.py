@@ -55,8 +55,9 @@ def _load():
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.jt_encode_scan.restype = ctypes.c_long
         lib.jt_decode_scan.restype = ctypes.c_long
+        lib.jt_count_symbols.restype = None
         lib.jt_version.restype = ctypes.c_int
-        if lib.jt_version() != 1:
+        if lib.jt_version() != 2:
             return None
         _lib = lib
         return _lib
@@ -113,6 +114,23 @@ def encode_scan(
     if n < 0:
         raise RuntimeError(f"native encode_scan failed ({n})")
     return out[:n].tobytes()
+
+
+def count_frequencies(blocks: np.ndarray, tbl: np.ndarray) -> dict:
+    """Native twin of encode_np.count_frequencies (no record stream needed)."""
+    lib = _load()
+    assert lib is not None
+    blocks = np.ascontiguousarray(blocks, dtype=np.int32)
+    tbl8 = np.ascontiguousarray(tbl, dtype=np.uint8)
+    hists = np.zeros((4, 256), dtype=np.int64)
+    lib.jt_count_symbols(
+        _ptr(blocks, ctypes.c_int32), _ptr(tbl8, ctypes.c_uint8),
+        ctypes.c_long(blocks.shape[0]), _ptr(hists, ctypes.c_int64),
+    )
+    return {
+        (0, 0): hists[0], (1, 0): hists[1],
+        (0, 1): hists[2], (1, 1): hists[3],
+    }
 
 
 def decode_scan(

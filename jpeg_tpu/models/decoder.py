@@ -47,10 +47,12 @@ def _reconstruct_plane(zz, qtab, blocks_shape):
     return plane + 128.0
 
 
-def _finish_color(y_zz, cb_zz, cr_zz, qy, qc, yshape, cshape, mode: Subsampling):
+def _finish_color(y_zz, cb_zz, cr_zz, qy, qc, yshape, cshape, mode: Subsampling,
+                  fancy: bool = True):
+    up = subsample.fancy_upsample_plane if fancy else subsample.upsample_plane
     y = _reconstruct_plane(y_zz, qy, yshape)
-    cb = subsample.upsample_plane(_reconstruct_plane(cb_zz, qc, cshape), mode)
-    cr = subsample.upsample_plane(_reconstruct_plane(cr_zz, qc, cshape), mode)
+    cb = up(_reconstruct_plane(cb_zz, qc, cshape), mode)
+    cr = up(_reconstruct_plane(cr_zz, qc, cshape), mode)
     ycc = jnp.stack([y, cb, cr], axis=-1)
     rgb = color.ycbcr_to_rgb(ycc, clip=False)
     return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
@@ -62,9 +64,10 @@ def _finish_gray(zz, qy, shape):
 
 
 @functools.cache
-def _jit_finish_color(yshape, cshape, mode):
+def _jit_finish_color(yshape, cshape, mode, fancy=True):
     return jax.jit(
-        functools.partial(_finish_color, yshape=yshape, cshape=cshape, mode=mode)
+        functools.partial(_finish_color, yshape=yshape, cshape=cshape,
+                          mode=mode, fancy=fancy)
     )
 
 
@@ -91,8 +94,12 @@ def _decode_scan(info: jfif.FrameInfo, n_mcu: int, mcu_layout: list):
     )
 
 
-def decode(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes to (H, W, 3) RGB or (H, W) gray uint8."""
+def decode(data: bytes, fancy_upsample: bool = True) -> np.ndarray:
+    """Decode baseline JPEG bytes to (H, W, 3) RGB or (H, W) gray uint8.
+
+    fancy_upsample: triangular chroma interpolation (libjpeg-style) instead of
+    pixel doubling — better quality on 4:2:2/4:2:0 streams.
+    """
     info = jfif.parse_jpeg(data)
     comps = info.components
 
@@ -137,7 +144,7 @@ def decode(data: bytes) -> np.ndarray:
     qy = jnp.asarray(info.qtables[cy.qtab_id])
     qc = jnp.asarray(info.qtables[ccb.qtab_id])
     out = np.asarray(
-        _jit_finish_color(yshape, cshape, mode)(
+        _jit_finish_color(yshape, cshape, mode, bool(fancy_upsample))(
             jnp.asarray(y_zz), jnp.asarray(cb_scan), jnp.asarray(cr_scan), qy, qc
         )
     )

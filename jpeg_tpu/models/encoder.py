@@ -216,6 +216,15 @@ def encode_bmp_to_jpeg(input_path: str, output_path: str, quality: int = 75,
         f.write(data)
 
 
+def encode_rgb_to_jpeg(rgb, output_path: str, quality: int = 75,
+                       subsampling="444", **kw) -> None:
+    """Raw-RGB-array analog of the reference's declared-but-never-defined
+    encode_rgb_to_jpeg (jpg_encode.h:99 — SURVEY.md component 3)."""
+    data = encode(np.asarray(rgb), quality=quality, subsampling=subsampling, **kw)
+    with open(output_path, "wb") as f:
+        f.write(data)
+
+
 def interleave_mcus(y_scan, cb_scan, cr_scan, hv: int):
     """Merge per-component scan-order blocks into one interleaved (B, 64) array
     plus the per-block table-id array (0 luma / 1 chroma)."""
@@ -246,8 +255,11 @@ def _pack_scan(blocks, tbl, cfg: EncodeConfig, bpm: int):
     """
     records = None
     if cfg.optimize_tables:
-        records = encode_np.build_records(blocks, tbl, tbl)
-        freqs = encode_np.count_frequencies(records)
+        if native.available():
+            freqs = native.count_frequencies(blocks, tbl)
+        else:
+            records = encode_np.build_records(blocks, tbl, tbl)
+            freqs = encode_np.count_frequencies(records)
         htables = {k: huffman.optimal_table(v) for k, v in freqs.items()}
     else:
         htables = huffman.standard_tables()

@@ -342,6 +342,29 @@ long jt_decode_scan(const uint8_t* data, long dlen, long mcu_count,
   return err.load();
 }
 
-int jt_version() { return 1; }
+// Symbol frequency counting for Annex-K.2 optimized tables: the native twin
+// of encode_np.count_frequencies / ops/symbols.py. hists: 4x256 int64
+// [dc_tbl0, ac_tbl0, dc_tbl1, ac_tbl1], zero-initialized by caller.
+void jt_count_symbols(const int32_t* blocks, const uint8_t* tbl, long nblocks,
+                      int64_t* hists) {
+  for (long b = 0; b < nblocks; ++b) {
+    const int32_t* blk = blocks + b * 64;
+    int t = tbl[b];
+    int64_t* dc = hists + (t ? 512 : 0);
+    int64_t* ac = dc + 256;
+    dc[bit_size(blk[0])]++;
+    int run = 0;
+    for (int k = 1; k < 64; ++k) {
+      int32_t v = blk[k];
+      if (v == 0) { ++run; continue; }
+      while (run > 15) { ac[0xF0]++; run -= 16; }
+      ac[(run << 4) | bit_size(v)]++;
+      run = 0;
+    }
+    if (run > 0) ac[0x00]++;
+  }
+}
+
+int jt_version() { return 2; }
 
 }  // extern "C"

@@ -35,3 +35,26 @@ def upsample_plane(plane: jnp.ndarray, mode: Subsampling) -> jnp.ndarray:
     if fh == 1 and fw == 1:
         return plane
     return jnp.repeat(jnp.repeat(plane, fh, axis=0), fw, axis=1)
+
+
+def _triangle_axis(plane: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Double one axis with libjpeg-style triangular weights: each output
+    sample is (3*near + far) / 4, edges replicated."""
+    x = jnp.moveaxis(plane, axis, 0)
+    prev = jnp.concatenate([x[:1], x[:-1]], axis=0)
+    nxt = jnp.concatenate([x[1:], x[-1:]], axis=0)
+    a = (3.0 * x + prev) * 0.25
+    b = (3.0 * x + nxt) * 0.25
+    out = jnp.stack([a, b], axis=1).reshape(2 * x.shape[0], *x.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
+def fancy_upsample_plane(plane: jnp.ndarray, mode: Subsampling) -> jnp.ndarray:
+    """Triangular-filter chroma upsample (libjpeg's "fancy" h2v1/h2v2),
+    markedly better than pixel doubling on smooth chroma gradients."""
+    out = plane.astype(jnp.float32)
+    if mode.h_factor == 2:
+        out = _triangle_axis(out, 1)
+    if mode.v_factor == 2:
+        out = _triangle_axis(out, 0)
+    return out

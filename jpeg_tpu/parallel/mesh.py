@@ -35,3 +35,29 @@ def make_mesh(n_devices: int | None = None, batch_axis: int | None = None) -> Me
         raise ValueError(f"{n} devices not divisible by batch axis {batch_axis}")
     arr = np.array(devices[:n]).reshape(batch_axis, n // batch_axis)
     return Mesh(arr, axis_names=("batch", "mcu"))
+
+
+def make_multihost_mesh(batch_axis: int | None = None,
+                        coordinator_address: str | None = None,
+                        num_processes: int | None = None,
+                        process_id: int | None = None) -> Mesh:
+    """Multi-host (batch, mcu) mesh over a pod slice.
+
+    Call once per host process. Device order from jax.devices() after
+    jax.distributed.initialize() interleaves hosts, so the ``mcu`` axis rides
+    ICI within each host slice and DCN only at host boundaries — the stripe
+    pipeline (parallel.shard) and the single-JFIF stitch (parallel.mosaic)
+    run unchanged; only this constructor differs from single-host use.
+
+    Untestable in this container (single chip behind a tunnel): exercised via
+    the virtual-device path in tests/test_parallel.py instead.
+    """
+    import jax
+
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return make_mesh(batch_axis=batch_axis)

@@ -95,3 +95,13 @@ def test_corrupt_stream_raises(rng):
     huff = huffman.standard_tables()
     with pytest.raises(ValueError):
         native.decode_scan(b"\x00\x01\x02\x03", 100, [(0, 1, 0, 0)], huff, 0)
+
+
+def test_native_count_frequencies_matches_numpy(rng):
+    blocks = _random_blocks(rng, 50, density=0.3)
+    tbl = (rng.random(50) < 0.5).astype(np.int64)
+    rec = encode_np.build_records(blocks, tbl, tbl)
+    a = encode_np.count_frequencies(rec)
+    b = native.count_frequencies(blocks, tbl)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=str(k))

@@ -118,7 +118,7 @@ def test_our_decoder_matches_pil_on_our_streams(tiger, mode):
     pil = _pil_decode(jpg)
     # Same spec-conformant stream; differences limited to IDCT rounding and
     # chroma upsampling choice (we use nearest, libjpeg uses fancy triangular).
-    assert psnr(ours, pil) > (40.0 if mode == "444" else 30.0)
+    assert psnr(ours, pil) > 40.0  # fancy upsampling: ~51 dB on 420/422
 
 
 @pytest.mark.parametrize("pil_mode", ["4:4:4", "4:2:2", "4:2:0"])
@@ -129,7 +129,7 @@ def test_decode_foreign_pil_jpeg(tiger, pil_mode):
     ours = decode(jpg)
     pil = _pil_decode(jpg)
     assert ours.shape == pil.shape
-    assert psnr(ours, pil) > (40.0 if pil_mode == "4:4:4" else 30.0)
+    assert psnr(ours, pil) > 40.0
 
 
 def test_decode_foreign_optimized_progressive_rejected(tiger):
