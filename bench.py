@@ -92,7 +92,7 @@ def child(platform: str) -> None:
 
     def device_encode():
         if use_device_pack:
-            words, totals = fn(dev_img, qy, qc, *luts, *geom)
+            words, totals, ok = fn(dev_img, qy, qc, *luts, *geom)
             t = int(np.asarray(totals)[0])
             w_host = np.asarray(words[0, : (t + 31) // 32])
             scan = bitpack.finalize_segment(w_host, t).tobytes()
@@ -135,7 +135,7 @@ def child(platform: str) -> None:
 
 
 def main() -> int:
-    attempts = [("tpu", 360), ("cpu", 240)]
+    attempts = [("tpu", 480), ("cpu", 240)]
     if os.environ.get("JPEG_TPU_BENCH_CPU_ONLY"):
         attempts = [("cpu", 240)]
     for platform, timeout in attempts:

@@ -120,14 +120,14 @@ def _transform_color_packed(
     nblocks = n_mcu * bpm
     if r == 0 or r >= n_mcu:
         nwords = nblocks * WORDS_PER_BLOCK + 2
-        words, total = bitpack.pack_bits(bits, nbits, nwords)
-        return words[None], total[None]
+        words, total, ok = bitpack.pack_bits(bits, nbits, nwords)
+        return words[None], total[None], ok[None]
     # Equal restart segments (caller guarantees n_mcu % r == 0).
     nseg = n_mcu // r
     seg_blocks = r * bpm
     nwords = seg_blocks * WORDS_PER_BLOCK + 2
-    bits = bits.reshape(nseg, seg_blocks * 191)
-    nbits = nbits.reshape(nseg, seg_blocks * 191)
+    bits = bits.reshape(nseg, seg_blocks, 191)
+    nbits = nbits.reshape(nseg, seg_blocks, 191)
     return jax.vmap(lambda b, n: bitpack.pack_bits(b, n, nwords))(bits, nbits)
 
 
@@ -298,10 +298,10 @@ def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
         geom = _packed_geometry(
             img.shape[0] // mode.mcu_height, img.shape[1] // mode.mcu_width, mode
         )
-        words, totals = _jit_color_packed(mode, r)(img, qy, qc, *luts, *geom)
+        words, totals, ok = _jit_color_packed(mode, r)(img, qy, qc, *luts, *geom)
         totals_np = np.asarray(totals)
-        if int(totals_np.max()) > words.shape[1] * 32:
-            scan = None  # stream denser than the device word cap: host pack
+        if not bool(np.asarray(ok).all()):
+            scan = None  # a block or segment overflowed the device caps: host pack
         else:
             parts = []
             for s in range(len(totals_np)):

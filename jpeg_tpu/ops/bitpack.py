@@ -104,29 +104,19 @@ def build_bitfields(blocks, tbl, dc_code, dc_len, ac_code, ac_len):
     return bits, nbits
 
 
-def pack_bits(bits, nbits, nwords: int):
-    """Assemble (R,) <=32-bit fields into an (nwords,) uint32 big-endian word
-    stream. Returns (words, total_bits).
+# Per-block bit budget for the device packer. A block whose entropy-coded size
+# exceeds this makes the device report failure (ok=False) and the encoder
+# falls back to the host packer — correctness never depends on the cap.
+# 9 words = 288 bits; typical q<=90 blocks need 30-150 bits.
+BLOCK_WORDS = 9
 
-    Scatter-free: word indices from the prefix sum are sorted and bit ranges
-    are disjoint (add == or, and uint32 wraparound cancels in differences), so
-    each output word is a *segment sum* of contributions — computed as a
-    difference of prefix sums at boundaries found with searchsorted. TPU
-    scatter lowering is serial; this formulation is all dense vector ops.
-    """
-    bits = bits.reshape(-1)
-    nbits = nbits.reshape(-1).astype(jnp.int32)
-    starts = jnp.cumsum(nbits) - nbits
-    total = starts[-1] + nbits[-1]
 
-    word = starts >> 5
+def _field_split(bits, nbits, starts):
+    """Split each <=32-bit field into (hi, lo) word contributions given its
+    start bit offset. All shifts clamped to [0, 31]: the unselected jnp.where
+    branch is still evaluated and XLA shifts >= bit width are undefined."""
     sh = (starts & 31).astype(jnp.int32)
-    # A field occupies [sh, sh + nbits) inside a 64-bit window anchored at
-    # `word`. In 32-bit arithmetic: hi gets the first (32 - sh) bits, lo the
-    # overflow into the next word. Clamp shift amounts to [0, 31]: the
-    # unselected jnp.where branch is still evaluated, and XLA shifts >= bit
-    # width are undefined.
-    over = jnp.maximum(sh + nbits - 32, 0)  # bits that spill into word+1
+    over = jnp.maximum(sh + nbits - 32, 0)  # bits spilling into word+1
     hi = jnp.where(
         over > 0,
         bits >> over.astype(jnp.uint32),
@@ -135,16 +125,72 @@ def pack_bits(bits, nbits, nwords: int):
     lo = jnp.where(
         over > 0, bits << jnp.clip(32 - over, 0, 31).astype(jnp.uint32), 0
     ).astype(jnp.uint32)
+    return hi, lo
 
-    wid = jnp.arange(nwords + 1, dtype=jnp.int32)
-    # hi contributions land at `word`; lo contributions at `word + 1`.
-    ph = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(hi)])
-    idx_h = jnp.searchsorted(word, wid)
-    out = ph[idx_h[1:]] - ph[idx_h[:-1]]
-    pl = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(lo)])
-    idx_l = jnp.searchsorted(word + 1, wid)
-    out = out + (pl[idx_l[1:]] - pl[idx_l[:-1]])
-    return out, total
+
+def pack_bits(bits, nbits, nwords: int):
+    """Assemble (B, R) per-block <=32-bit fields into an (nwords,) uint32
+    big-endian word stream. Returns (words, total_bits, ok).
+
+    Two-level, scatter-light design (TPU scatter runs ~100M updates/s, far too
+    slow for the ~37M raw fields of a 4K image; a searchsorted segment-sum is
+    no better because large-table gathers are equally slow):
+
+      1. per-block: fields -> a BLOCK_WORDS-word local buffer via a one-hot
+         masked reduction over the block's fields — XLA fuses the
+         (B, R, BLOCK_WORDS) broadcast into the reduction, so this is pure
+         dense VPU work;
+      2. global: block buffers are shifted by their global bit offset (prefix
+         sum over block bit totals) and scatter-added — only
+         (BLOCK_WORDS+2) updates per BLOCK, ~20x fewer than per-field.
+
+    ok=False when any block overflowed BLOCK_WORDS*32 bits or the stream
+    overflowed nwords; callers must then repack on the host.
+    """
+    nbits = nbits.astype(jnp.int32)
+    nblocks = bits.shape[0]
+
+    # Within-block field offsets and block totals.
+    starts = jnp.cumsum(nbits, axis=1) - nbits
+    t_b = starts[:, -1] + nbits[:, -1]  # (B,) bits per block
+
+    hi, lo = _field_split(bits, nbits, starts)
+    w_r = jnp.clip(starts >> 5, 0, BLOCK_WORDS - 1)  # (B, R) word-in-block
+
+    # Level 1: one-hot masked reduce into per-block buffers (B, BLOCK_WORDS+1).
+    wg = jnp.arange(BLOCK_WORDS + 1, dtype=jnp.int32)[None, None, :]
+    buf = jnp.sum(
+        jnp.where(w_r[:, :, None] == wg, hi[:, :, None], jnp.uint32(0))
+        + jnp.where((w_r + 1)[:, :, None] == wg, lo[:, :, None], jnp.uint32(0)),
+        axis=1,
+        dtype=jnp.uint32,
+    )  # (B, BLOCK_WORDS+1); the +1 lane catches lo spill of the last word
+
+    # Level 2: global bit offsets, shift each buffer into stream position.
+    off = jnp.cumsum(t_b) - t_b
+    total = off[-1] + t_b[-1]
+    base = off >> 5
+    s2 = (off & 31).astype(jnp.int32)
+
+    # contrib[k] = (buf[k] >> s2) | (buf[k-1] << (32-s2)), k = 0..BLOCK_WORDS+1
+    # (buf[-1] = buf[BLOCK_WORDS+1] = 0): the block's buffer re-aligned to its
+    # global bit offset.
+    zero_col = jnp.zeros((nblocks, 1), jnp.uint32)
+    buf_ext = jnp.concatenate([buf, zero_col], axis=1)
+    buf_prev = jnp.concatenate([zero_col, buf], axis=1)
+    s2c = s2[:, None]
+    contrib = (buf_ext >> s2c.astype(jnp.uint32)) | jnp.where(
+        s2c > 0, buf_prev << jnp.clip(32 - s2c, 0, 31).astype(jnp.uint32), 0
+    )  # (B, BLOCK_WORDS+2)
+
+    idx = base[:, None] + jnp.arange(BLOCK_WORDS + 2, dtype=jnp.int32)[None, :]
+    words = jnp.zeros(nwords, jnp.uint32)
+    words = words.at[idx.reshape(-1)].add(
+        contrib.reshape(-1), indices_are_sorted=False, mode="drop"
+    )
+
+    ok = (jnp.max(t_b) <= BLOCK_WORDS * 32) & (total <= nwords * 32)
+    return words, total, ok
 
 
 def finalize_segment(words: np.ndarray, total_bits: int) -> np.ndarray:

@@ -28,7 +28,11 @@ def test_device_pack_matches_numpy(rng, density):
 
     luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(huff))
     bits, nbits = bitpack.build_bitfields(jnp.asarray(blocks), jnp.asarray(tbl), *luts)
-    words, total = bitpack.pack_bits(bits, nbits, 40 * 54 + 2)
+    words, total, ok = bitpack.pack_bits(bits, nbits, 40 * 54 + 2)
+    if density >= 0.6:
+        assert not bool(ok)  # dense blocks exceed the per-block device cap
+        return
+    assert bool(ok)
     got = bitpack.finalize_segment(np.asarray(words), int(total)).tobytes()
     assert got == expect
 
@@ -46,7 +50,8 @@ def test_device_pack_zrl_chains(rng):
     expect = encode_np.encode_scan(blocks, tbl, tbl, huff)
     luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(huff))
     bits, nbits = bitpack.build_bitfields(jnp.asarray(blocks), jnp.asarray(tbl), *luts)
-    words, total = bitpack.pack_bits(bits, nbits, 4 * 54 + 2)
+    words, total, ok = bitpack.pack_bits(bits, nbits, 4 * 54 + 2)
+    assert bool(ok)
     got = bitpack.finalize_segment(np.asarray(words), int(total)).tobytes()
     assert got == expect
 
