@@ -1,0 +1,91 @@
+"""Host<->device pipelined streaming encode (the PP row of SURVEY.md §2's
+parallelism table: JPEG's stages are too cheap to pipeline across chips, so
+the pipeline parallelism that matters is overlapping host work — entropy
+finalization, JFIF assembly, ingest — with the device transform of the NEXT
+image, riding JAX's async dispatch).
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jpeg_tpu.config import EncodeConfig, Subsampling, _as_subsampling
+from jpeg_tpu.entropy import huffman
+from jpeg_tpu.io import jfif
+from jpeg_tpu.models import encoder as E
+from jpeg_tpu.ops import bitpack, quant, tile
+
+
+def encode_stream(
+    images: Iterable[np.ndarray],
+    quality: int = 75,
+    subsampling="420",
+    depth: int = 2,
+    device_pack: bool | None = None,
+) -> Iterator[bytes]:
+    """Encode a stream of RGB images, keeping `depth` device transforms in
+    flight while the host finalizes earlier ones. Yields JFIF bytes in order.
+
+    Standard Huffman tables only (optimized tables need a second pass over
+    statistics and break the single-flight pipeline; use parallel.batch for
+    that). Images may vary in size — each distinct geometry compiles once.
+    """
+    cfg = EncodeConfig(quality=quality, subsampling=_as_subsampling(subsampling))
+    mode = cfg.subsampling
+    if device_pack is None:
+        device_pack = jax.default_backend() != "cpu"
+
+    htables = huffman.standard_tables()
+    luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(htables))
+    qy = jnp.asarray(quant.luma_table(cfg.quality))
+    qc = jnp.asarray(quant.chroma_table(cfg.quality))
+    qy_np = quant.luma_table(cfg.quality)
+    qc_np = quant.chroma_table(cfg.quality)
+
+    def dispatch(img: np.ndarray):
+        img = np.asarray(img)
+        if img.ndim != 3 or img.shape[2] != 3:
+            raise ValueError(f"expected (H, W, 3), got {img.shape}")
+        h0, w0 = img.shape[:2]
+        dev = tile.pad_to_multiple(
+            jnp.asarray(img), mode.mcu_height, mode.mcu_width
+        )
+        if not device_pack:
+            return ("host", img, None)
+        geom = E._packed_geometry(
+            dev.shape[0] // mode.mcu_height, dev.shape[1] // mode.mcu_width, mode
+        )
+        out = E._jit_color_packed(mode, 0)(dev, qy, qc, *luts, *geom)
+        return ("device", img, (h0, w0, out))
+
+    def finish(item) -> bytes:
+        kind, img, payload = item
+        if kind == "host":
+            return E._encode_color(img, cfg, None, device_pack=False)
+        h0, w0, (words, totals, ok) = payload
+        if not bool(np.asarray(ok).all()):
+            return E._encode_color(img, cfg, None, device_pack=False)
+        t = int(np.asarray(totals)[0])
+        w_host = np.asarray(words[0, : (t + 31) // 32])
+        scan = bitpack.finalize_segment(w_host, t).tobytes()
+        comps = [
+            jfif.ComponentSpec(1, mode.h_factor, mode.v_factor, 0, 0, 0),
+            jfif.ComponentSpec(2, 1, 1, 1, 1, 1),
+            jfif.ComponentSpec(3, 1, 1, 1, 1, 1),
+        ]
+        return jfif.write_jpeg(
+            w0, h0, comps, {0: qy_np, 1: qc_np}, htables, scan
+        )
+
+    pending: collections.deque = collections.deque()
+    for img in images:
+        pending.append(dispatch(img))
+        if len(pending) > depth:
+            yield finish(pending.popleft())
+    while pending:
+        yield finish(pending.popleft())

@@ -157,3 +157,16 @@ def test_mosaic_single_jfif(rng):
     from jpeg_tpu.io import jfif
     info = jfif.parse_jpeg(jpg)
     assert info.restart_interval > 0
+
+
+def test_encode_stream_matches_encode(rng):
+    """Pipelined streaming encode must produce the same bytes as encode()."""
+    from jpeg_tpu.parallel.pipeline import encode_stream
+
+    imgs = [_test_imgs(rng, b=1, h=48, w=32)[0] for _ in range(5)]
+    imgs.append(_test_imgs(rng, b=1, h=64, w=64)[0])  # geometry change mid-stream
+    outs = list(encode_stream(imgs, quality=80, subsampling="420",
+                              device_pack=True))
+    assert len(outs) == len(imgs)
+    for img, jpg in zip(imgs, outs):
+        assert jpg == encode(img, quality=80, subsampling="420")
