@@ -193,6 +193,11 @@ def parse_jpeg(data: bytes) -> FrameInfo:
             if not components:
                 raise JpegFormatError("SOS before SOF")
             ns = payload[0]
+            if ns != len(components):
+                raise JpegFormatError(
+                    "non-interleaved multi-scan baseline streams are not "
+                    f"supported (scan has {ns} of {len(components)} components)"
+                )
             by_id = {c.comp_id: c for c in components}
             for i in range(ns):
                 cid, td_ta = payload[1 + 2 * i], payload[2 + 2 * i]

@@ -184,6 +184,7 @@ def encode(
     optimize_tables: bool = False,
     comment: str | None = None,
     device_pack: bool | None = None,
+    quant_tables=None,
 ) -> bytes:
     """Encode an (H, W, 3) RGB or (H, W) grayscale uint8 array (or a .bmp path)
     to baseline JFIF JPEG bytes. The capability contract of jpg_encode.h:85,
@@ -200,10 +201,14 @@ def encode(
         else:
             image = bmp.decode_bmp(image)
     image = np.asarray(image)
+    if quant_tables is not None:
+        qt_y = np.clip(np.asarray(quant_tables[0], np.int32).reshape(8, 8), 1, 255)
+        qt_c = np.clip(np.asarray(quant_tables[1], np.int32).reshape(8, 8), 1, 255)
+        quant_tables = (qt_y, qt_c)
     if image.ndim == 2:
-        return _encode_gray(image, cfg, comment)
+        return _encode_gray(image, cfg, comment, quant_tables)
     if image.ndim == 3 and image.shape[2] == 3:
-        return _encode_color(image, cfg, comment, device_pack)
+        return _encode_color(image, cfg, comment, device_pack, quant_tables)
     raise ValueError(f"expected (H, W, 3) or (H, W) image, got {image.shape}")
 
 
@@ -280,12 +285,16 @@ def _pack_scan(blocks, tbl, cfg: EncodeConfig, bpm: int):
 
 
 def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
-                  device_pack: bool | None = None) -> bytes:
+                  device_pack: bool | None = None, quant_tables=None) -> bytes:
     h0, w0 = image.shape[:2]
     mode = cfg.subsampling
     img = tile.pad_to_multiple(jnp.asarray(image), mode.mcu_height, mode.mcu_width)
-    qy = jnp.asarray(quant.luma_table(cfg.quality))
-    qc = jnp.asarray(quant.chroma_table(cfg.quality))
+    if quant_tables is not None:
+        qy_np, qc_np = quant_tables
+    else:
+        qy_np, qc_np = quant.luma_table(cfg.quality), quant.chroma_table(cfg.quality)
+    qy = jnp.asarray(qy_np)
+    qc = jnp.asarray(qc_np)
 
     r = cfg.restart_interval
     n_mcu = (img.shape[0] // mode.mcu_height) * (img.shape[1] // mode.mcu_width)
@@ -321,8 +330,7 @@ def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
             jfif.ComponentSpec(3, 1, 1, 1, 1, 1),
         ]
         return jfif.write_jpeg(
-            w0, h0, comps,
-            {0: quant.luma_table(cfg.quality), 1: quant.chroma_table(cfg.quality)},
+            w0, h0, comps, {0: qy_np, 1: qc_np},
             htables, scan, restart_interval=r, comment=comment,
         )
 
@@ -358,16 +366,17 @@ def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
         jfif.ComponentSpec(3, 1, 1, 1, 1, 1),
     ]
     return jfif.write_jpeg(
-        w0, h0, comps,
-        {0: quant.luma_table(cfg.quality), 1: quant.chroma_table(cfg.quality)},
+        w0, h0, comps, {0: qy_np, 1: qc_np},
         htables, scan, restart_interval=r, comment=comment,
     )
 
 
-def _encode_gray(image: np.ndarray, cfg: EncodeConfig, comment) -> bytes:
+def _encode_gray(image: np.ndarray, cfg: EncodeConfig, comment,
+                 quant_tables=None) -> bytes:
     h0, w0 = image.shape
     img = tile.pad_to_multiple(jnp.asarray(image), 8, 8)
-    qy = jnp.asarray(quant.luma_table(cfg.quality))
+    qy_np = quant.luma_table(cfg.quality) if quant_tables is None else quant_tables[0]
+    qy = jnp.asarray(qy_np)
     zz = np.asarray(_jit_gray()(img, qy))  # raster == scan for one component
 
     r = cfg.restart_interval
@@ -378,6 +387,6 @@ def _encode_gray(image: np.ndarray, cfg: EncodeConfig, comment) -> bytes:
     htables = {(0, 0): all_tables[(0, 0)], (1, 0): all_tables[(1, 0)]}
     comps = [jfif.ComponentSpec(1, 1, 1, 0, 0, 0)]
     return jfif.write_jpeg(
-        w0, h0, comps, {0: quant.luma_table(cfg.quality)}, htables, scan,
+        w0, h0, comps, {0: qy_np}, htables, scan,
         restart_interval=r, comment=comment,
     )

@@ -183,3 +183,26 @@ def test_reencode_stability(tiger):
     j2 = encode(d1, quality=90, subsampling="444")
     d2 = decode(j2)
     assert psnr(d2, d1) > 40.0
+
+
+def test_custom_quant_tables(tiger):
+    """User-supplied quantization tables flow through encode and the DQT."""
+    from jpeg_tpu.io import jfif
+
+    qy = np.full((8, 8), 20, dtype=np.int32)
+    qc = np.full((8, 8), 40, dtype=np.int32)
+    jpg = encode(tiger, subsampling="444", quant_tables=(qy, qc))
+    info = jfif.parse_jpeg(jpg)
+    np.testing.assert_array_equal(info.qtables[0], qy)
+    np.testing.assert_array_equal(info.qtables[1], qc)
+    out = _pil_decode(jpg)
+    assert psnr(out, tiger) > 28.0
+    ours = decode(jpg)
+    assert psnr(ours, out) > 40.0
+
+
+def test_custom_quant_tables_gray(tiger):
+    qy = np.full((8, 8), 16, dtype=np.int32)
+    jpg = encode(tiger[:, :, 0], quant_tables=(qy, qy))
+    from jpeg_tpu.io import jfif
+    np.testing.assert_array_equal(jfif.parse_jpeg(jpg).qtables[0], qy)
