@@ -21,21 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jpeg_tpu.config import Subsampling
 from jpeg_tpu.entropy import decode_np, native
 from jpeg_tpu.io import jfif
 from jpeg_tpu.models import layout
 from jpeg_tpu.ops import color, dct, quant, subsample, tile, zigzag
-
-
-def _mode_from_factors(h: int, v: int) -> Subsampling:
-    if (h, v) == (1, 1):
-        return Subsampling.YUV444
-    if (h, v) == (2, 1):
-        return Subsampling.YUV422
-    if (h, v) == (2, 2):
-        return Subsampling.YUV420
-    raise jfif.JpegFormatError(f"unsupported luma sampling factors {(h, v)}")
 
 
 def _reconstruct_plane(zz, qtab, blocks_shape):
@@ -47,12 +36,15 @@ def _reconstruct_plane(zz, qtab, blocks_shape):
     return plane + 128.0
 
 
-def _finish_color(y_zz, cb_zz, cr_zz, qy, qc, yshape, cshape, mode: Subsampling,
+def _finish_color(y_zz, cb_zz, cr_zz, qy, qc, yshape, cshape, factors,
                   fancy: bool = True):
-    up = subsample.fancy_upsample_plane if fancy else subsample.upsample_plane
+    fh, fv = factors  # chroma-to-luma upsampling factors
+    up = (
+        subsample.fancy_upsample_factors if fancy else subsample.upsample_factors
+    )
     y = _reconstruct_plane(y_zz, qy, yshape)
-    cb = up(_reconstruct_plane(cb_zz, qc, cshape), mode)
-    cr = up(_reconstruct_plane(cr_zz, qc, cshape), mode)
+    cb = up(_reconstruct_plane(cb_zz, qc, cshape), fv, fh)
+    cr = up(_reconstruct_plane(cr_zz, qc, cshape), fv, fh)
     ycc = jnp.stack([y, cb, cr], axis=-1)
     rgb = color.ycbcr_to_rgb(ycc, clip=False)
     return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
@@ -64,10 +56,10 @@ def _finish_gray(zz, qy, shape):
 
 
 @functools.cache
-def _jit_finish_color(yshape, cshape, mode, fancy=True):
+def _jit_finish_color(yshape, cshape, factors, fancy=True):
     return jax.jit(
         functools.partial(_finish_color, yshape=yshape, cshape=cshape,
-                          mode=mode, fancy=fancy)
+                          factors=factors, fancy=fancy)
     )
 
 
@@ -127,7 +119,8 @@ def decode(data: bytes, fancy_upsample: bool = True) -> np.ndarray:
     cy, ccb, ccr = comps
     if (ccb.h, ccb.v) != (1, 1) or (ccr.h, ccr.v) != (1, 1):
         raise jfif.JpegFormatError("chroma sampling factors must be (1,1)")
-    mode = _mode_from_factors(cy.h, cy.v)
+    if cy.h not in (1, 2, 4) or cy.v not in (1, 2, 4):
+        raise jfif.JpegFormatError(f"unsupported luma sampling {(cy.h, cy.v)}")
 
     mcu_layout = [
         (0, cy.h * cy.v, cy.dc_id, cy.ac_id),
@@ -144,7 +137,7 @@ def decode(data: bytes, fancy_upsample: bool = True) -> np.ndarray:
     qy = jnp.asarray(info.qtables[cy.qtab_id])
     qc = jnp.asarray(info.qtables[ccb.qtab_id])
     out = np.asarray(
-        _jit_finish_color(yshape, cshape, mode, bool(fancy_upsample))(
+        _jit_finish_color(yshape, cshape, (cy.h, cy.v), bool(fancy_upsample))(
             jnp.asarray(y_zz), jnp.asarray(cb_scan), jnp.asarray(cr_scan), qy, qc
         )
     )

@@ -201,6 +201,10 @@ def encode(
         else:
             image = bmp.decode_bmp(image)
     image = np.asarray(image)
+    if np.issubdtype(image.dtype, np.floating):
+        image = np.clip(np.round(image), 0, 255).astype(np.uint8)
+    elif image.dtype != np.uint8:
+        image = np.clip(image, 0, 255).astype(np.uint8)
     if quant_tables is not None:
         qt_y = np.clip(np.asarray(quant_tables[0], np.int32).reshape(8, 8), 1, 255)
         qt_c = np.clip(np.asarray(quant_tables[1], np.int32).reshape(8, 8), 1, 255)

@@ -52,9 +52,32 @@ def _triangle_axis(plane: jnp.ndarray, axis: int) -> jnp.ndarray:
 def fancy_upsample_plane(plane: jnp.ndarray, mode: Subsampling) -> jnp.ndarray:
     """Triangular-filter chroma upsample (libjpeg's "fancy" h2v1/h2v2),
     markedly better than pixel doubling on smooth chroma gradients."""
+    return fancy_upsample_factors(plane, mode.v_factor, mode.h_factor)
+
+
+def upsample_factors(plane: jnp.ndarray, fv: int, fh: int) -> jnp.ndarray:
+    """Nearest-neighbor upsample by integer factors (decoder general path)."""
+    if fv > 1:
+        plane = jnp.repeat(plane, fv, axis=0)
+    if fh > 1:
+        plane = jnp.repeat(plane, fh, axis=1)
+    return plane
+
+
+def fancy_upsample_factors(plane: jnp.ndarray, fv: int, fh: int) -> jnp.ndarray:
+    """Triangular upsample generalized to power-of-two factors (a 4x factor —
+    e.g. 4:1:1 luma sampling — chains two doubling passes)."""
     out = plane.astype(jnp.float32)
-    if mode.h_factor == 2:
+    f = fh
+    while f > 1:
+        if f % 2:
+            return upsample_factors(out, fv, f)  # non-pow2: fall back
         out = _triangle_axis(out, 1)
-    if mode.v_factor == 2:
+        f //= 2
+    f = fv
+    while f > 1:
+        if f % 2:
+            return upsample_factors(out, f, 1)
         out = _triangle_axis(out, 0)
+        f //= 2
     return out

@@ -206,3 +206,27 @@ def test_custom_quant_tables_gray(tiger):
     jpg = encode(tiger[:, :, 0], quant_tables=(qy, qy))
     from jpeg_tpu.io import jfif
     np.testing.assert_array_equal(jfif.parse_jpeg(jpg).qtables[0], qy)
+
+
+def test_float_input_accepted(tiger):
+    as_float = tiger.astype(np.float64) + 0.3
+    a = encode(as_float, quality=80)
+    b = encode(tiger, quality=80)
+    assert a == b  # rounds back to the same uint8 image
+
+
+def test_decode_411_stream(tiger):
+    """4:1:1 luma sampling (h=4, v=1), produced by PIL if supported."""
+    import io as _io
+    from PIL import Image as _Image
+    buf = _io.BytesIO()
+    try:
+        _Image.fromarray(tiger).save(buf, "JPEG", quality=80,
+                                     subsampling="4:1:1")
+    except (ValueError, OSError):
+        pytest.skip("PIL build lacks 4:1:1")
+    jpg = buf.getvalue()
+    ours = decode(jpg)
+    pil = np.asarray(_Image.open(_io.BytesIO(jpg)).convert("RGB"))
+    assert ours.shape == pil.shape
+    assert psnr(ours, pil) > 33.0
