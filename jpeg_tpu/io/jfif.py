@@ -46,8 +46,26 @@ class ComponentSpec:
 
 
 @dataclasses.dataclass
+class ScanInfo:
+    """One SOS header + its entropy-coded data.
+
+    Tables/DRI may be redefined between scans, so each scan snapshots them.
+    """
+
+    comp_ids: list  # [(comp_id, dc_id, ac_id)] in scan order
+    data: bytes  # entropy-coded bytes incl. RSTn markers
+    restart_interval: int
+    htables: dict  # (is_ac, id) -> HuffTable at the time of this scan
+
+
+@dataclasses.dataclass
 class FrameInfo:
-    """Everything a decoder needs, parsed from the marker stream."""
+    """Everything a decoder needs, parsed from the marker stream.
+
+    scan_data/htables/restart_interval mirror the FIRST scan (the common
+    single-scan interleaved case); `scans` lists all of them for
+    non-interleaved multi-scan baseline streams.
+    """
 
     width: int
     height: int
@@ -57,6 +75,7 @@ class FrameInfo:
     restart_interval: int
     scan_data: bytes  # entropy-coded bytes incl. RSTn markers, excl. EOI
     progressive: bool = False
+    scans: list = dataclasses.field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -133,16 +152,21 @@ def parse_jpeg(data: bytes) -> FrameInfo:
     qtables: dict = {}
     htables: dict = {}
     components: list = []
+    scans: list = []
     width = height = 0
     restart_interval = 0
     progressive = False
 
-    while pos < len(data):
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise JpegFormatError(f"expected marker at offset {pos}")
         marker = data[pos + 1]
         pos += 2
         if marker == EOI:
+            if scans:
+                return _finish_frame(
+                    width, height, components, qtables, scans, progressive
+                )
             raise JpegFormatError("EOI before SOS (no image data)")
         if marker in (0x01, *range(0xD0, 0xD8)):  # TEM / RSTn: standalone
             continue
@@ -193,30 +217,44 @@ def parse_jpeg(data: bytes) -> FrameInfo:
             if not components:
                 raise JpegFormatError("SOS before SOF")
             ns = payload[0]
-            if ns != len(components):
-                raise JpegFormatError(
-                    "non-interleaved multi-scan baseline streams are not "
-                    f"supported (scan has {ns} of {len(components)} components)"
-                )
             by_id = {c.comp_id: c for c in components}
+            comp_ids = []
             for i in range(ns):
                 cid, td_ta = payload[1 + 2 * i], payload[2 + 2 * i]
                 by_id[cid].dc_id = td_ta >> 4
                 by_id[cid].ac_id = td_ta & 15
+                comp_ids.append((cid, td_ta >> 4, td_ta & 15))
             scan_start = pos
             scan_end = _find_scan_end(data, scan_start)
-            return FrameInfo(
-                width=width,
-                height=height,
-                components=components,
-                qtables=qtables,
-                htables=htables,
-                restart_interval=restart_interval,
-                scan_data=data[scan_start:scan_end],
-                progressive=progressive,
+            scans.append(
+                ScanInfo(
+                    comp_ids=comp_ids,
+                    data=data[scan_start:scan_end],
+                    restart_interval=restart_interval,
+                    htables=dict(htables),
+                )
             )
+            pos = scan_end
+            # Continue: more scans (non-interleaved baseline) may follow.
         # all other markers (APPn, COM, ...) are skipped
+    if scans:
+        return _finish_frame(width, height, components, qtables, scans, progressive)
     raise JpegFormatError("no SOS found")
+
+
+def _finish_frame(width, height, components, qtables, scans, progressive):
+    first: ScanInfo = scans[0]
+    return FrameInfo(
+        width=width,
+        height=height,
+        components=components,
+        qtables=qtables,
+        htables=first.htables,
+        restart_interval=first.restart_interval,
+        scan_data=first.data,
+        progressive=progressive,
+        scans=scans,
+    )
 
 
 def _find_scan_end(data: bytes, start: int) -> int:

@@ -86,6 +86,49 @@ def _decode_scan(info: jfif.FrameInfo, n_mcu: int, mcu_layout: list):
     )
 
 
+def _decode_noninterleaved(info: jfif.FrameInfo, mcu_rows: int, mcu_cols: int):
+    """Multi-scan baseline: one component per scan, MCU = one block (A.2.2).
+
+    Returns per-component (N, 64) zig-zag blocks in plane raster order, padded
+    to the interleaved MCU grid the finishing program expects.
+    """
+    comps = info.components
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    by_id = {c.comp_id: (i, c) for i, c in enumerate(comps)}
+    out = [None] * len(comps)
+
+    for scan in info.scans:
+        if len(scan.comp_ids) != 1:
+            raise jfif.JpegFormatError(
+                "partially interleaved scans are not supported"
+            )
+        cid, dc_id, ac_id = scan.comp_ids[0]
+        ci, c = by_id[cid]
+        # Component dimensions (T.81 A.1.1) and its own block grid.
+        cw = layout.ceil_div(info.width * c.h, hmax)
+        ch = layout.ceil_div(info.height * c.v, vmax)
+        bw, bh = layout.ceil_div(cw, 8), layout.ceil_div(ch, 8)
+        sub_info = jfif.FrameInfo(
+            width=info.width, height=info.height, components=comps,
+            qtables=info.qtables, htables=scan.htables,
+            restart_interval=scan.restart_interval, scan_data=scan.data,
+        )
+        blocks = _decode_scan(sub_info, bh * bw, [(0, 1, dc_id, ac_id)])[0]
+        # Pad the raster grid up to the interleaved-MCU geometry.
+        gh, gw = mcu_rows * c.v, mcu_cols * c.h
+        grid = np.zeros((gh, gw, 64), dtype=blocks.dtype)
+        grid[:bh, :bw] = blocks.reshape(bh, bw, 64)
+        out[ci] = grid.reshape(gh * gw, 64)
+
+    for ci, arr in enumerate(out):
+        if arr is None:
+            raise jfif.JpegFormatError(
+                f"component {comps[ci].comp_id} has no scan"
+            )
+    return out
+
+
 def decode(data: bytes, fancy_upsample: bool = True) -> np.ndarray:
     """Decode baseline JPEG bytes to (H, W, 3) RGB or (H, W) gray uint8.
 
@@ -122,15 +165,20 @@ def decode(data: bytes, fancy_upsample: bool = True) -> np.ndarray:
     if cy.h not in (1, 2, 4) or cy.v not in (1, 2, 4):
         raise jfif.JpegFormatError(f"unsupported luma sampling {(cy.h, cy.v)}")
 
-    mcu_layout = [
-        (0, cy.h * cy.v, cy.dc_id, cy.ac_id),
-        (1, 1, ccb.dc_id, ccb.ac_id),
-        (2, 1, ccr.dc_id, ccr.ac_id),
-    ]
-    y_scan, cb_scan, cr_scan = _decode_scan(info, n_mcu, mcu_layout)
-    # Scan order -> plane raster order.
-    inv = layout.inverse_permutation(mcu_rows, mcu_cols, cy.v, cy.h)
-    y_zz = y_scan[inv]
+    if len(info.scans) <= 1 and len(info.scans[0].comp_ids) == 3:
+        mcu_layout = [
+            (0, cy.h * cy.v, cy.dc_id, cy.ac_id),
+            (1, 1, ccb.dc_id, ccb.ac_id),
+            (2, 1, ccr.dc_id, ccr.ac_id),
+        ]
+        y_scan, cb_scan, cr_scan = _decode_scan(info, n_mcu, mcu_layout)
+        # Scan order -> plane raster order.
+        inv = layout.inverse_permutation(mcu_rows, mcu_cols, cy.v, cy.h)
+        y_zz = y_scan[inv]
+    else:
+        y_zz, cb_scan, cr_scan = _decode_noninterleaved(
+            info, mcu_rows, mcu_cols
+        )
 
     yshape = (mcu_rows * cy.v, mcu_cols * cy.h)
     cshape = (mcu_rows, mcu_cols)

@@ -131,3 +131,58 @@ def test_write_parse_identity(rng):
         assert info.restart_interval == r
         pil = np.asarray(Image.open(io.BytesIO(jpg)).convert("RGB"))
         assert pil.shape == (48, 64, 3)
+
+
+def test_noninterleaved_multiscan_decode(rng):
+    """3 single-component scans (legal baseline, A.2.2) must decode and match
+    the equivalent interleaved stream."""
+    import jax.numpy as jnp
+    from jpeg_tpu.entropy import encode_np, huffman
+    from jpeg_tpu.models import encoder as E
+    from jpeg_tpu.config import Subsampling
+    from jpeg_tpu.ops import quant
+
+    h, w = 32, 48
+    img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    interleaved = encode(img, quality=75, subsampling="444")
+
+    mode = Subsampling.YUV444
+    qy, qc = quant.luma_table(75), quant.chroma_table(75)
+    y, cb, cr = (np.asarray(a) for a in E._jit_color(mode)(
+        jnp.asarray(img), jnp.asarray(qy), jnp.asarray(qc)))
+    ht = huffman.standard_tables()
+
+    def one_scan(blocks, tbl_id):
+        b = blocks.astype(np.int64).copy()
+        b[1:, 0] = blocks[1:, 0] - blocks[:-1, 0]
+        tbl = np.full(len(b), tbl_id, dtype=np.int64)
+        return encode_np.encode_scan(b, tbl, tbl, ht)
+
+    out = io.BytesIO()
+    out.write(b"\xff\xd8")
+    for qid, q in [(0, qy), (1, qc)]:
+        zz = np.asarray(q, np.int32).reshape(64)[
+            __import__("jpeg_tpu.tables", fromlist=["x"]).ZIGZAG_ORDER]
+        out.write(struct.pack(">BBH", 0xFF, jfif.DQT, 67) + bytes([qid])
+                  + bytes(int(x) for x in zz))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, qid in [(1, 0), (2, 1), (3, 1)]:
+        sof += struct.pack(">BBB", cid, 0x11, qid)
+    out.write(struct.pack(">BBH", 0xFF, jfif.SOF0, len(sof) + 2) + sof)
+    for (is_ac, tid), t in sorted(ht.items()):
+        p = bytes([(is_ac << 4) | tid]) + bytes(int(x) for x in t.bits) \
+            + bytes(int(x) for x in t.vals)
+        out.write(struct.pack(">BBH", 0xFF, jfif.DHT, len(p) + 2) + p)
+    for cid, tid, blocks in [(1, 0, y), (2, 1, cb), (3, 1, cr)]:
+        sos = bytes([1]) + struct.pack(">BB", cid, (tid << 4) | tid) + bytes([0, 63, 0])
+        out.write(struct.pack(">BBH", 0xFF, jfif.SOS, len(sos) + 2) + sos)
+        out.write(one_scan(blocks, tid))
+    out.write(b"\xff\xd9")
+    multiscan = out.getvalue()
+
+    ours = decode(multiscan)
+    ref = decode(interleaved)
+    np.testing.assert_array_equal(ours, ref)
+    pil = np.asarray(Image.open(io.BytesIO(multiscan)).convert("RGB"))
+    np.testing.assert_array_equal(
+        pil, np.asarray(Image.open(io.BytesIO(interleaved)).convert("RGB")))
