@@ -26,6 +26,8 @@ def _add_encode_flags(p):
                    help="per-image Annex-K.2 Huffman tables")
     p.add_argument("--grayscale", action="store_true",
                    help="encode luma only")
+    p.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler trace of the encode here")
 
 
 def main(argv=None) -> int:
@@ -61,12 +63,21 @@ def main(argv=None) -> int:
             img = np.asarray(
                 color.rgb_to_ycbcr(jnp.asarray(img))[..., 0]
             ).round().clip(0, 255).astype(np.uint8)
+        import contextlib
+
+        if args.trace_dir:
+            import jax
+
+            tracer = jax.profiler.trace(args.trace_dir)
+        else:
+            tracer = contextlib.nullcontext()
         t0 = time.time()
-        data = encode(
-            img, quality=args.quality, subsampling=args.subsampling,
-            restart_interval=args.restart_interval,
-            optimize_tables=args.optimize_tables,
-        )
+        with tracer:
+            data = encode(
+                img, quality=args.quality, subsampling=args.subsampling,
+                restart_interval=args.restart_interval,
+                optimize_tables=args.optimize_tables,
+            )
         dt = time.time() - t0
         with open(args.output, "wb") as f:
             f.write(data)

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jpeg_tpu import tables as T
 from jpeg_tpu.config import EncodeConfig, Subsampling
 from jpeg_tpu.entropy import encode_np, huffman
 from jpeg_tpu.entropy import native
@@ -246,13 +245,6 @@ def interleave_mcus(y_scan, cb_scan, cr_scan, hv: int):
     tbl = np.zeros((n_mcu, bpm), dtype=np.int64)
     tbl[:, hv:] = 1
     return blocks.reshape(-1, 64), tbl.reshape(-1)
-
-
-def _choose_tables(records, optimize: bool) -> dict:
-    if not optimize:
-        return huffman.standard_tables()
-    freqs = encode_np.count_frequencies(records)
-    return {k: huffman.optimal_table(v) for k, v in freqs.items()}
 
 
 def _pack_scan(blocks, tbl, cfg: EncodeConfig, bpm: int):
