@@ -1,0 +1,132 @@
+"""Differential test against the COMPILED reference encoder.
+
+BASELINE.json config 2's acceptance bar: "coefficient-exact vs reference".
+The reference's working stages (DCT -> quantize -> zig-zag; SURVEY.md §3.2)
+are compiled from /root/reference at test time and used as an oracle: for
+random 8x8 luma blocks, our quantized zig-zag coefficients must equal its
+output bit-for-bit at q=50 (the reference's unscaled-table path — its quality
+scaling mutates globals in place, so the per-block API always sees base
+tables).
+
+The reference source is only *compiled* here (read-only mount), never copied.
+Skipped cleanly if gcc or the mount is unavailable.
+"""
+
+import pathlib
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REF = pathlib.Path("/root/reference/src")
+
+DRIVER = r"""
+#include <stdio.h>
+#include "headers/block.h"
+#include "headers/dct.h"
+#include "headers/quantise.h"
+#include "headers/zig_zag.h"
+
+int main(void) {
+    int n;
+    if (scanf("%d", &n) != 1) return 1;
+    for (int t = 0; t < n; t++) {
+        Block b = new_block();
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                double v;
+                if (scanf("%lf", &v) != 1) return 2;
+                set_value_block(b, x, y, v);
+            }
+        dct_block(b);
+        quantise_lum(b);
+        int zz[64];
+        zig_zag_block(b, zz);
+        for (int k = 0; k < 64; k++) printf("%d ", zz[k]);
+        printf("\n");
+        destroy_block(b);
+    }
+    return 0;
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def ref_binary(tmp_path_factory):
+    if not REF.exists() or shutil.which("gcc") is None:
+        pytest.skip("reference tree or gcc unavailable")
+    work = tmp_path_factory.mktemp("refbuild")
+    (work / "driver.c").write_text(DRIVER)
+    srcs = [str(REF / f) for f in ("block.c", "dct.c", "quantise.c", "zig_zag.c")]
+    exe = work / "ref_stages"
+    cmd = ["gcc", "-O2", "-std=c99", "-I", str(REF), str(work / "driver.c"),
+           *srcs, "-o", str(exe), "-lm"]
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    if res.returncode != 0:
+        pytest.skip(f"reference does not compile here: {res.stderr[:200]}")
+    return exe
+
+
+def _run_reference(exe, blocks: np.ndarray) -> np.ndarray:
+    lines = [str(len(blocks))]
+    for b in blocks:
+        lines.append(" ".join(f"{v:.6f}" for v in b.reshape(64)))
+    res = subprocess.run([str(exe)], input="\n".join(lines), text=True,
+                         capture_output=True, timeout=60, check=True)
+    out = []
+    for ln in res.stdout.strip().splitlines():
+        toks = ln.split()
+        # the reference prints a debug banner per block (zig_zag.c:50)
+        if len(toks) == 64 and all(
+            t.lstrip("-").isdigit() for t in toks
+        ):
+            out.append([int(x) for x in toks])
+    return np.array(out, dtype=np.int32)
+
+
+def test_quantized_coefficients_match_reference(ref_binary, rng):
+    """Random level-shifted luma blocks: identical quantized zig-zag output.
+
+    One documented divergence: the reference's quantise_lum mixes its (x, y)
+    accessor convention and divides coefficient (row j, col i) by Q[i][j] —
+    i.e. it quantizes with the TRANSPOSED table (src/quantise.c:52-61,
+    get_value_block(b, i, j) is column-major vs the row-major table index).
+    Feeding our pipeline Q^T reproduces the reference bit-for-bit; with the
+    correct Q only the table orientation differs. DCT and zig-zag conventions
+    agree exactly.
+    """
+    from jpeg_tpu import tables
+    from jpeg_tpu.ops import dct, quant, zigzag
+
+    blocks = rng.integers(0, 256, size=(64, 8, 8)).astype(np.float64) - 128.0
+    ref_zz = _run_reference(ref_binary, blocks)
+
+    coeffs = dct.fdct_blocks(blocks)
+    q_ref_style = quant.quantize(coeffs, tables.QUANT_LUMA.T)
+    ours_ref_style = np.asarray(zigzag.to_zigzag(q_ref_style))
+    np.testing.assert_array_equal(ours_ref_style, ref_zz)
+
+    # With the correctly-oriented table the streams differ only where Q^T
+    # differs from Q (off-diagonal), never at the DC position.
+    ours = np.asarray(zigzag.to_zigzag(quant.quantize(coeffs, tables.QUANT_LUMA)))
+    np.testing.assert_array_equal(ours[:, 0], ref_zz[:, 0])
+
+
+def test_golden_block_matches_reference(ref_binary):
+    """The ITU example block end-to-end through both implementations."""
+    from test_dct import GOLDEN
+    from jpeg_tpu import tables
+    from jpeg_tpu.ops import dct, quant, zigzag
+
+    shifted = (GOLDEN - 128.0)[None]
+    ref_zz = _run_reference(ref_binary, shifted)[0]
+    ours = np.asarray(
+        zigzag.to_zigzag(quant.quantize(dct.fdct_blocks(shifted), tables.QUANT_LUMA))
+    )[0]
+    assert ref_zz[0] == ours[0] == -26  # DC agrees exactly
+    # Full vector with the reference's transposed-table quantization quirk.
+    qblock = quant.quantize(dct.fdct_blocks(shifted), tables.QUANT_LUMA.T)
+    ours_ref_style = np.asarray(zigzag.to_zigzag(qblock))[0]
+    np.testing.assert_array_equal(ours_ref_style, ref_zz)
