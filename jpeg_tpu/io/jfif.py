@@ -145,7 +145,15 @@ class JpegFormatError(ValueError):
 
 
 def parse_jpeg(data: bytes) -> FrameInfo:
-    """Walk the marker stream up to (and including) the first scan."""
+    """Walk the full marker stream (all scans). Malformed input raises
+    JpegFormatError."""
+    try:
+        return _parse_jpeg(data)
+    except (struct.error, IndexError, KeyError) as e:
+        raise JpegFormatError(f"malformed JPEG stream: {e}") from e
+
+
+def _parse_jpeg(data: bytes) -> FrameInfo:
     if len(data) < 4 or data[0] != 0xFF or data[1] != SOI:
         raise JpegFormatError("missing SOI")
     pos = 2
