@@ -37,8 +37,14 @@ from jpeg_tpu.ops import color, dct, quant, subsample, tile, zigzag
 # ---------------------------------------------------------------------------
 
 
-def _transform_color(rgb, qy, qc, mode: Subsampling):
-    """uint8 (H, W, 3), H/W already MCU-aligned -> (y_zz, cb_zz, cr_zz)."""
+def _transform_color(rgb, qy, qc, mode: Subsampling, use_pallas: bool = False):
+    """uint8 (H, W, 3), H/W already MCU-aligned -> (y_zz, cb_zz, cr_zz).
+
+    use_pallas routes the level-shift+DCT+quantize through the fused Pallas
+    kernel (ops/fused.py). Outputs may differ from the XLA path by ±1 at exact
+    rounding boundaries (different f32 accumulation order) — both are valid
+    encoders; the XLA path is the byte-stable default.
+    """
     ycc = color.rgb_to_ycbcr(rgb)
     # Level shift: all components move to [-128, 127] before the DCT
     # (T.81 A.3.1). Chroma already carries a +128 offset from the color matrix.
@@ -47,11 +53,22 @@ def _transform_color(rgb, qy, qc, mode: Subsampling):
     cb = subsample.downsample_plane(cb, mode)
     cr = subsample.downsample_plane(cr, mode)
 
-    def plane_to_zz(plane, qtab):
-        coeff = dct.fdct_plane(plane)
-        qc_plane = quant.quantize_plane(coeff, qtab)
-        blocks = tile.blockify(qc_plane)
-        return zigzag.to_zigzag(blocks).reshape(-1, 64)
+    if use_pallas:
+        from jpeg_tpu.ops import fused
+
+        interp = jax.default_backend() == "cpu"  # Mosaic kernels need a TPU
+
+        def plane_to_zz(plane, qtab):
+            # fused kernel includes the -128 shift; undo the one above.
+            qp = fused.fused_dct_quantize(plane + 128.0, qtab, interpret=interp)
+            return zigzag.to_zigzag(tile.blockify(qp)).reshape(-1, 64)
+    else:
+
+        def plane_to_zz(plane, qtab):
+            coeff = dct.fdct_plane(plane)
+            qc_plane = quant.quantize_plane(coeff, qtab)
+            blocks = tile.blockify(qc_plane)
+            return zigzag.to_zigzag(blocks).reshape(-1, 64)
 
     return plane_to_zz(y, qy), plane_to_zz(cb, qc), plane_to_zz(cr, qc)
 
@@ -64,8 +81,10 @@ def _transform_gray(plane, qy):
 
 
 @functools.cache
-def _jit_color(mode: Subsampling):
-    return jax.jit(functools.partial(_transform_color, mode=mode))
+def _jit_color(mode: Subsampling, use_pallas: bool = False):
+    return jax.jit(
+        functools.partial(_transform_color, mode=mode, use_pallas=use_pallas)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +203,7 @@ def encode(
     comment: str | None = None,
     device_pack: bool | None = None,
     quant_tables=None,
+    use_pallas: bool = False,
 ) -> bytes:
     """Encode an (H, W, 3) RGB or (H, W) grayscale uint8 array (or a .bmp path)
     to baseline JFIF JPEG bytes. The capability contract of jpg_encode.h:85,
@@ -211,7 +231,10 @@ def encode(
     if image.ndim == 2:
         return _encode_gray(image, cfg, comment, quant_tables)
     if image.ndim == 3 and image.shape[2] == 3:
-        return _encode_color(image, cfg, comment, device_pack, quant_tables)
+        if use_pallas:
+            device_pack = False  # pallas variant feeds the host packers
+        return _encode_color(image, cfg, comment, device_pack, quant_tables,
+                             use_pallas)
     raise ValueError(f"expected (H, W, 3) or (H, W) image, got {image.shape}")
 
 
@@ -281,7 +304,8 @@ def _pack_scan(blocks, tbl, cfg: EncodeConfig, bpm: int):
 
 
 def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
-                  device_pack: bool | None = None, quant_tables=None) -> bytes:
+                  device_pack: bool | None = None, quant_tables=None,
+                  use_pallas: bool = False) -> bytes:
     h0, w0 = image.shape[:2]
     mode = cfg.subsampling
     img = tile.pad_to_multiple(jnp.asarray(image), mode.mcu_height, mode.mcu_width)
@@ -330,7 +354,7 @@ def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
             htables, scan, restart_interval=r, comment=comment,
         )
 
-    y_zz, cb_zz, cr_zz = _jit_color(mode)(img, qy, qc)
+    y_zz, cb_zz, cr_zz = _jit_color(mode, use_pallas)(img, qy, qc)
     y_zz, cb_zz, cr_zz = (np.asarray(a) for a in (y_zz, cb_zz, cr_zz))
 
     hp, wp = img.shape[:2]

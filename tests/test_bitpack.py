@@ -75,3 +75,20 @@ def test_device_pack_unaligned_restart_falls_back(tiger):
     ref = encode(tiger, quality=80, subsampling="420", restart_interval=7,
                  device_pack=False)
     assert jpg == ref
+
+
+def test_bits_per_block_predicts_scan_size(rng):
+    """ops.symbols.bits_per_block must equal the packed bit count exactly."""
+    import jax.numpy as jnp
+    from jpeg_tpu.ops import symbols
+
+    blocks = _random_blocks(rng, 24, 0.2)
+    tbl = np.zeros(24, dtype=np.int32)
+    huff = huffman.standard_tables()
+    dc_len = jnp.asarray(huff[(0, 0)].size.astype(np.int32))
+    ac_len = jnp.asarray(huff[(1, 0)].size.astype(np.int32))
+    predicted = int(np.asarray(
+        symbols.bits_per_block(jnp.asarray(blocks), dc_len, ac_len)).sum())
+    luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(huff))
+    bits, nbits = bitpack.build_bitfields(jnp.asarray(blocks), jnp.asarray(tbl), *luts)
+    assert predicted == int(np.asarray(nbits).sum())

@@ -46,3 +46,19 @@ def test_fused_quality_tables(rng):
         )
         expect = _reference(jnp.asarray(plane), qt)
         _assert_coef_equal(got, expect)
+
+
+def test_encode_use_pallas_end_to_end(rng):
+    """encode(use_pallas=True) produces a valid stream with near-identical
+    pixels to the XLA path (interpret mode on CPU)."""
+    import io
+    from PIL import Image
+    from jpeg_tpu import encode
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack([xx * 5, yy * 7, xx + yy], -1).astype(np.uint8)
+    a = encode(img, quality=85, subsampling="420", use_pallas=True)
+    b = encode(img, quality=85, subsampling="420")
+    pa = np.asarray(Image.open(io.BytesIO(a)).convert("RGB"))
+    pb = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+    assert np.abs(pa.astype(int) - pb.astype(int)).max() <= 2
