@@ -87,6 +87,101 @@ def _build_sharded_fn(mesh: Mesh, mode: Subsampling, stripe_restart: bool,
     return jax.jit(mapped)
 
 
+def _halo_triangle_vertical(x, sp: int):
+    """Vertical doubling with 3:1 triangular weights across stripe boundaries.
+
+    x: (b, h_local, w) chroma stripe. The filter needs one row of halo on each
+    side; boundary rows ride a ppermute ring exchange (edge stripes replicate,
+    matching the unsharded edge behavior). Bit-identical to running
+    subsample._triangle_axis on the unsharded plane.
+    """
+    if sp == 1:
+        from jpeg_tpu.ops.subsample import _triangle_axis
+
+        return jax.vmap(lambda p: _triangle_axis(p, 0))(x)
+    idx = jax.lax.axis_index("mcu")
+    from_above = jax.lax.ppermute(
+        x[:, -1, :], "mcu", [(i, i + 1) for i in range(sp - 1)]
+    )
+    from_below = jax.lax.ppermute(
+        x[:, 0, :], "mcu", [(i, i - 1) for i in range(1, sp)]
+    )
+    top = jnp.where(idx == 0, x[:, 0, :], from_above)
+    bot = jnp.where(idx == sp - 1, x[:, -1, :], from_below)
+    prev = jnp.concatenate([top[:, None, :], x[:, :-1, :]], axis=1)
+    nxt = jnp.concatenate([x[:, 1:, :], bot[:, None, :]], axis=1)
+    a = (3.0 * x + prev) * 0.25
+    b = (3.0 * x + nxt) * 0.25
+    bsz, h, w = x.shape
+    return jnp.stack([a, b], axis=2).reshape(bsz, 2 * h, w)
+
+
+def _stripe_decode(y, cb, cr, qy, qc, *, mode: Subsampling, mcu_cols: int,
+                   sp: int):
+    """Per-shard decode finishing: raster zig-zag blocks -> RGB pixels."""
+    from jpeg_tpu.ops import color, dct, quant, subsample, tile, zigzag
+
+    hf, vf = mode.h_factor, mode.v_factor
+
+    def plane(zz, qtab, wb):
+        hb = zz.shape[0] // wb
+        blocks = zigzag.from_zigzag(zz.reshape(hb, wb, 64))
+        coeff = quant.dequantize(blocks, qtab)
+        return tile.unblockify(dct.idct_blocks(coeff)) + 128.0
+
+    yp = jax.vmap(lambda z: plane(z, qy, mcu_cols * hf))(y)
+    cbp = jax.vmap(lambda z: plane(z, qc, mcu_cols))(cb)
+    crp = jax.vmap(lambda z: plane(z, qc, mcu_cols))(cr)
+
+    def up(p):
+        # horizontal triangle doubling is width-local; vertical needs halos.
+        if hf == 2:
+            p = jax.vmap(lambda q: subsample._triangle_axis(q, 1))(p)
+        if vf == 2:
+            p = _halo_triangle_vertical(p, sp)
+        return p
+
+    cbp, crp = up(cbp), up(crp)
+    ycc = jnp.stack([yp, cbp, crp], axis=-1)
+    rgb = color.ycbcr_to_rgb(ycc, clip=False)
+    return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_sharded_decode(mesh: Mesh, mode: Subsampling, mcu_cols: int):
+    fn = functools.partial(
+        _stripe_decode, mode=mode, mcu_cols=mcu_cols, sp=mesh.shape["mcu"]
+    )
+    mapped = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P("batch", "mcu"), P("batch", "mcu"), P("batch", "mcu"),
+                  P(), P()),
+        out_specs=P("batch", "mcu"),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_decode_pixels(y_zz, cb_zz, cr_zz, qy, qc, mcu_cols: int,
+                          mesh: Mesh,
+                          mode: Subsampling = Subsampling.YUV420):
+    """Distributed decode finishing: per-component (B, N, 64) zig-zag blocks
+    in PLANE RASTER order -> (B, H, W, 3) uint8, sharded over (batch, stripe).
+
+    Entropy decode happens on hosts (C++ threads per restart segment); this is
+    the device half, with cross-stripe halo exchange for the triangular chroma
+    upsample so results are bit-identical to the single-device decoder. The
+    MCU-row count must divide evenly over the ``mcu`` axis.
+    """
+    spec = NamedSharding(mesh, P("batch", "mcu"))
+    y_zz = jax.device_put(jnp.asarray(y_zz), spec)
+    cb_zz = jax.device_put(jnp.asarray(cb_zz), spec)
+    cr_zz = jax.device_put(jnp.asarray(cr_zz), spec)
+    fn = _build_sharded_decode(mesh, mode, int(mcu_cols))
+    return fn(y_zz, cb_zz, cr_zz, jnp.asarray(qy), jnp.asarray(qc))
+
+
 def sharded_encode_blocks(
     imgs,
     qy,

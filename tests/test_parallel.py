@@ -170,3 +170,35 @@ def test_encode_stream_matches_encode(rng):
     assert len(outs) == len(imgs)
     for img, jpg in zip(imgs, outs):
         assert jpg == encode(img, quality=80, subsampling="420")
+
+
+@pytest.mark.parametrize("mode", [Subsampling.YUV444, Subsampling.YUV420])
+def test_sharded_decode_matches_single_device(rng, mode):
+    """Distributed decode finishing (with halo exchange for the triangular
+    upsample) must be bit-identical to the single-device decoder."""
+    from jpeg_tpu.models import decoder as D
+    from jpeg_tpu.ops import quant
+    import jax.numpy as jnp
+
+    mesh = make_mesh(8, batch_axis=2)
+    sp = mesh.shape["mcu"]
+    mcu_rows, mcu_cols = sp * 2, 3
+    hf, vf = mode.h_factor, mode.v_factor
+    b = 2
+    n_y = mcu_rows * vf * mcu_cols * hf
+    n_c = mcu_rows * mcu_cols
+    y = rng.integers(-40, 40, size=(b, n_y, 64)).astype(np.int32)
+    cb = rng.integers(-20, 20, size=(b, n_c, 64)).astype(np.int32)
+    cr = rng.integers(-20, 20, size=(b, n_c, 64)).astype(np.int32)
+    qy, qc = quant.luma_table(75), quant.chroma_table(75)
+
+    got = np.asarray(shard.sharded_decode_pixels(
+        y, cb, cr, qy, qc, mcu_cols, mesh, mode))
+
+    fin = D._jit_finish_color(
+        (mcu_rows * vf, mcu_cols * hf), (mcu_rows, mcu_cols), (hf, vf), True)
+    for i in range(b):
+        expect = np.asarray(fin(
+            jnp.asarray(y[i]), jnp.asarray(cb[i]), jnp.asarray(cr[i]),
+            jnp.asarray(qy), jnp.asarray(qc)))
+        np.testing.assert_array_equal(got[i], expect)
