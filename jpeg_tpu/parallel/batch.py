@@ -30,6 +30,54 @@ def tables_from_histograms(hists: np.ndarray) -> dict:
     }
 
 
+def _encode_batch_device_packed(padded, orig_shape, qy, qc, mesh, mode,
+                                quality) -> list[bytes] | None:
+    """Device path: every stripe entropy-packs its own restart segment on its
+    own shard; the host only finalizes (stuff/pad) and stitches with RSTn.
+    Returns None if any stripe overflowed the per-block device cap."""
+    from jpeg_tpu.ops import bitpack
+
+    htables = huffman.standard_tables()
+    words, totals, ok = shard.sharded_encode_packed(
+        padded, qy, qc, htables, mesh, mode
+    )
+    ok_np = np.asarray(ok)
+    if not bool(ok_np.all()):
+        return None
+    totals_np = np.asarray(totals)
+    words_np = np.asarray(words)
+    b, h0, w0 = orig_shape[0], orig_shape[1], orig_shape[2]
+    sp = mesh.shape["mcu"]
+    nwords = words_np.shape[1] // sp
+
+    hp, wp = padded.shape[1], padded.shape[2]
+    mcu_cols = wp // mode.mcu_width
+    mcu_rows = hp // mode.mcu_height
+    dri = (mcu_rows // sp) * mcu_cols if sp > 1 else 0
+
+    comps = [
+        jfif.ComponentSpec(1, mode.h_factor, mode.v_factor, 0, 0, 0),
+        jfif.ComponentSpec(2, 1, 1, 1, 1, 1),
+        jfif.ComponentSpec(3, 1, 1, 1, 1, 1),
+    ]
+    out = []
+    for i in range(b):
+        parts = []
+        for s in range(sp):
+            t = int(totals_np[i, s])
+            seg_words = words_np[i, s * nwords : s * nwords + (t + 31) // 32]
+            parts.append(bitpack.finalize_segment(seg_words, t).tobytes())
+            if s != sp - 1:
+                parts.append(bytes([0xFF, 0xD0 + (s & 7)]))
+        out.append(
+            jfif.write_jpeg(
+                w0, h0, comps, {0: qy, 1: qc}, htables, b"".join(parts),
+                restart_interval=dri,
+            )
+        )
+    return out
+
+
 def encode_batch(
     imgs,
     quality: int = 75,
@@ -37,6 +85,7 @@ def encode_batch(
     mesh=None,
     stripe_restart: bool = True,
     optimize_tables: bool = False,
+    device_pack: bool = False,
 ) -> list[bytes]:
     """Encode a batch of same-sized RGB images into independent JFIF streams.
 
@@ -63,6 +112,15 @@ def encode_batch(
 
     qy = quant.luma_table(quality)
     qc = quant.chroma_table(quality)
+
+    if device_pack and stripe_restart and not optimize_tables:
+        out = _encode_batch_device_packed(
+            padded, imgs.shape, qy, qc, mesh, mode, quality
+        )
+        if out is not None:
+            return out
+        # fall through to the host-pack path on block-cap overflow
+
     y, cb, cr, hists = shard.sharded_encode_blocks(
         padded, qy, qc, mesh, mode, stripe_restart=stripe_restart
     )

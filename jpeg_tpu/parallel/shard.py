@@ -33,9 +33,8 @@ from jpeg_tpu.models.encoder import _transform_color
 from jpeg_tpu.ops import symbols
 
 
-def _stripe_step(imgs, qy, qc, *, mode: Subsampling, mcu_cols: int,
-                 stripe_restart: bool, sp: int):
-    """Per-shard body. imgs: (b_local, h_local, W, 3) — one MCU-stripe block."""
+def _stripe_transform(imgs, qy, qc, mode: Subsampling, mcu_cols: int):
+    """Transform a stripe's images to scan-ordered per-component blocks."""
     hf, vf = mode.h_factor, mode.v_factor
     hv = hf * vf
 
@@ -45,7 +44,15 @@ def _stripe_step(imgs, qy, qc, *, mode: Subsampling, mcu_cols: int,
         perm = jnp.asarray(layout.mcu_scan_permutation(rows_local, mcu_cols, vf, hf))
         return y_zz[perm], cb_zz, cr_zz
 
-    y, cb, cr = jax.vmap(one_image)(imgs)  # (b, n_local, 64) each, scan order
+    return jax.vmap(one_image)(imgs)  # (b, n_local, 64) each, scan order
+
+
+def _stripe_step(imgs, qy, qc, *, mode: Subsampling, mcu_cols: int,
+                 stripe_restart: bool, sp: int):
+    """Per-shard body. imgs: (b_local, h_local, W, 3) — one MCU-stripe block."""
+    hf, vf = mode.h_factor, mode.v_factor
+    hv = hf * vf
+    y, cb, cr = _stripe_transform(imgs, qy, qc, mode, mcu_cols)
 
     def dpcm_shard(blocks):
         dc = blocks[:, :, 0]
@@ -68,6 +75,89 @@ def _stripe_step(imgs, qy, qc, *, mode: Subsampling, mcu_cols: int,
     hists = jnp.stack([dc_l, ac_l, dc_c1 + dc_c2, ac_c1 + ac_c2])
     hists = jax.lax.psum(hists, ("batch", "mcu"))
     return y, cb, cr, hists
+
+
+def _stripe_step_packed(imgs, qy, qc, dc_code, dc_len, ac_code, ac_len, *,
+                        mode: Subsampling, mcu_cols: int, sp: int):
+    """Per-shard body producing a PACKED restart segment per image: each
+    stripe entropy-codes its own blocks on its own chip (the device version of
+    'parallel Huffman bitstream stitch', BASELINE configs 4-5). Stripe
+    restarts by construction, so no DC exchange is needed and segments are
+    byte-aligned for the host stitch."""
+    from jpeg_tpu.models.encoder import (
+        WORDS_PER_BLOCK, _interleave_index,
+    )
+    from jpeg_tpu.ops import bitpack
+
+    hf, vf = mode.h_factor, mode.v_factor
+    hv = hf * vf
+    y, cb, cr = _stripe_transform(imgs, qy, qc, mode, mcu_cols)
+
+    def dpcm0(blocks):
+        # predictor resets at the stripe start (it is a restart segment)
+        dc = blocks[:, :, 0]
+        prev = jnp.concatenate([jnp.zeros_like(dc[:, :1]), dc[:, :-1]], axis=1)
+        return blocks.at[:, :, 0].set(dc - prev)
+
+    y, cb, cr = dpcm0(y), dpcm0(cb), dpcm0(cr)
+
+    n_mcu_local = cb.shape[1]
+    gather = jnp.asarray(
+        _interleave_index(n_mcu_local, hv, y.shape[1], n_mcu_local).astype(np.int32)
+    )
+    tbl_np = np.zeros((n_mcu_local, hv + 2), dtype=np.int32)
+    tbl_np[:, hv:] = 1
+    tbl = jnp.asarray(tbl_np.reshape(-1))
+
+    nblocks = n_mcu_local * (hv + 2)
+    nwords = nblocks * WORDS_PER_BLOCK + 2
+
+    def pack_one(yi, cbi, cri):
+        blocks = jnp.concatenate([yi, cbi, cri], axis=0)[gather]
+        bits, nbits = bitpack.build_bitfields(
+            blocks, tbl, dc_code, dc_len, ac_code, ac_len
+        )
+        return bitpack.pack_bits(bits, nbits, nwords)
+
+    words, totals, ok = jax.vmap(pack_one)(y, cb, cr)
+    return words, totals[:, None], ok[:, None]
+
+
+@functools.lru_cache(maxsize=64)
+def _build_sharded_packed_fn(mesh: Mesh, mode: Subsampling, mcu_cols: int):
+    fn = functools.partial(
+        _stripe_step_packed, mode=mode, mcu_cols=mcu_cols, sp=mesh.shape["mcu"]
+    )
+    mapped = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P("batch", "mcu"), P(), P(), P(), P(), P(), P()),
+        out_specs=(P("batch", "mcu"), P("batch", "mcu"), P("batch", "mcu")),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_encode_packed(imgs, qy, qc, huff: dict, mesh: Mesh,
+                          mode: Subsampling = Subsampling.YUV420):
+    """Distributed transform + per-stripe device entropy packing.
+
+    Returns (words (B, sp*nwords) uint32, totals (B, sp) int32, ok (B, sp)
+    bool): stripe s of image i occupies words[i, s*nwords:(s+1)*nwords] with
+    totals[i, s] valid bits. Join segments with RSTn after host finalize.
+    """
+    from jpeg_tpu.ops import bitpack
+
+    b, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    dp, sp = mesh.shape["batch"], mesh.shape["mcu"]
+    if b % dp or h % (mode.mcu_height * sp) or w % mode.mcu_width:
+        raise ValueError(f"geometry {imgs.shape} not tileable over mesh {mesh.shape}")
+    mcu_cols = w // mode.mcu_width
+    luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(huff))
+    fn = _build_sharded_packed_fn(mesh, mode, mcu_cols)
+    spec = NamedSharding(mesh, P("batch", "mcu"))
+    imgs = jax.device_put(jnp.asarray(imgs), spec)
+    return fn(imgs, jnp.asarray(qy), jnp.asarray(qc), *luts)
 
 
 @functools.lru_cache(maxsize=64)

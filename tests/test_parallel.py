@@ -202,3 +202,17 @@ def test_sharded_decode_matches_single_device(rng, mode):
             jnp.asarray(y[i]), jnp.asarray(cb[i]), jnp.asarray(cr[i]),
             jnp.asarray(qy), jnp.asarray(qc)))
         np.testing.assert_array_equal(got[i], expect)
+
+
+def test_device_packed_batch_matches_host_path(rng):
+    """Per-stripe device entropy packing must produce byte-identical files to
+    the host-packed stripe path."""
+    imgs = _test_imgs(rng, b=2, h=64, w=48)
+    mesh = make_mesh(8, batch_axis=2)
+    a = pbatch.encode_batch(imgs, quality=80, subsampling="420", mesh=mesh,
+                            stripe_restart=True, device_pack=True)
+    b = pbatch.encode_batch(imgs, quality=80, subsampling="420", mesh=mesh,
+                            stripe_restart=True, device_pack=False)
+    assert a == b
+    for jpg in a:
+        assert decode(jpg).shape == imgs[0].shape
