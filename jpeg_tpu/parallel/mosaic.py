@@ -32,6 +32,7 @@ def encode_mosaic(
     subsampling="420",
     mesh=None,
     optimize_tables: bool = False,
+    device_pack: bool = False,
 ) -> bytes:
     """Encode one large image into a single JFIF stream, stripe-sharded over
     the mesh's ``mcu`` axis. `image`: (H, W, 3) uint8, any size."""
@@ -47,6 +48,7 @@ def encode_mosaic(
         mesh=mesh,
         stripe_restart=True,
         optimize_tables=optimize_tables,
+        device_pack=device_pack,
     )[0]
 
 
