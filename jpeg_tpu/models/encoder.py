@@ -158,6 +158,34 @@ def _jit_color_packed(mode: Subsampling, restart_mcus: int):
     )
 
 
+def _transform_color_hists(rgb, qy, qc, perm_y, *, mode: Subsampling,
+                           restart_mcus: int):
+    """Pass 1 of device-packed optimized-table encode: global symbol
+    histograms [dc_luma, ac_luma, dc_chroma, ac_chroma] on device."""
+    from jpeg_tpu.ops import symbols
+
+    y_zz, cb_zz, cr_zz = _transform_color(rgb, qy, qc, mode=mode)
+    hv = mode.h_factor * mode.v_factor
+    r = int(restart_mcus)
+    y_scan = y_zz[perm_y]
+    y_scan = y_scan.at[:, 0].set(dpcm_ops.dpcm(y_scan[:, 0], r * hv))
+    cb_zz = cb_zz.at[:, 0].set(dpcm_ops.dpcm(cb_zz[:, 0], r))
+    cr_zz = cr_zz.at[:, 0].set(dpcm_ops.dpcm(cr_zz[:, 0], r))
+    dc_l, ac_l = symbols.symbol_histogram(y_scan)
+    dc_c1, ac_c1 = symbols.symbol_histogram(cb_zz)
+    dc_c2, ac_c2 = symbols.symbol_histogram(cr_zz)
+    return jnp.stack([dc_l, ac_l, dc_c1 + dc_c2, ac_c1 + ac_c2])
+
+
+@functools.cache
+def _jit_color_hists(mode: Subsampling, restart_mcus: int):
+    return jax.jit(
+        functools.partial(
+            _transform_color_hists, mode=mode, restart_mcus=restart_mcus
+        )
+    )
+
+
 @functools.lru_cache(maxsize=64)
 def _packed_geometry(mcu_rows: int, mcu_cols: int, mode: Subsampling):
     """Device-resident index arrays for the packed pipeline of one geometry."""
@@ -180,6 +208,33 @@ def _packed_geometry(mcu_rows: int, mcu_cols: int, mode: Subsampling):
 @functools.cache
 def _jit_gray():
     return jax.jit(_transform_gray)
+
+
+def _transform_gray_packed(plane, qy, dc_code, dc_len, ac_code, ac_len, *,
+                           restart_mcus: int):
+    zz = _transform_gray(plane, qy)
+    r = int(restart_mcus)
+    zz = zz.at[:, 0].set(dpcm_ops.dpcm(zz[:, 0], r))
+    tbl = jnp.zeros(zz.shape[0], jnp.int32)
+    bits, nbits = bitpack.build_bitfields(zz, tbl, dc_code, dc_len, ac_code, ac_len)
+    nblocks = zz.shape[0]
+    if r == 0 or r >= nblocks:
+        nwords = nblocks * WORDS_PER_BLOCK + 2
+        words, total, ok = bitpack.pack_bits(bits, nbits, nwords)
+        return words[None], total[None], ok[None]
+    nseg = -(-nblocks // r)
+    # caller guarantees nblocks % r == 0 for the device path
+    nwords = r * WORDS_PER_BLOCK + 2
+    bits = bits.reshape(nseg, r, 191)
+    nbits = nbits.reshape(nseg, r, 191)
+    return jax.vmap(lambda b, n: bitpack.pack_bits(b, n, nwords))(bits, nbits)
+
+
+@functools.cache
+def _jit_gray_packed(restart_mcus: int):
+    return jax.jit(
+        functools.partial(_transform_gray_packed, restart_mcus=restart_mcus)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -229,7 +284,7 @@ def encode(
         qt_c = np.clip(np.asarray(quant_tables[1], np.int32).reshape(8, 8), 1, 255)
         quant_tables = (qt_y, qt_c)
     if image.ndim == 2:
-        return _encode_gray(image, cfg, comment, quant_tables)
+        return _encode_gray(image, cfg, comment, quant_tables, device_pack)
     if image.ndim == 3 and image.shape[2] == 3:
         if use_pallas:
             device_pack = False  # pallas variant feeds the host packers
@@ -320,13 +375,23 @@ def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
     n_mcu = (img.shape[0] // mode.mcu_height) * (img.shape[1] // mode.mcu_width)
     if device_pack is None:
         device_pack = jax.default_backend() != "cpu"
-    pack_ok = (not cfg.optimize_tables) and (r == 0 or n_mcu % r == 0)
+    pack_ok = r == 0 or n_mcu % r == 0
     if device_pack and pack_ok:
-        htables = huffman.standard_tables()
-        luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(htables))
         geom = _packed_geometry(
             img.shape[0] // mode.mcu_height, img.shape[1] // mode.mcu_width, mode
         )
+        if cfg.optimize_tables:
+            # Pass 1: device symbol histograms -> per-image optimal tables.
+            hists = np.asarray(_jit_color_hists(mode, r)(img, qy, qc, geom[0]))
+            htables = {
+                (0, 0): huffman.optimal_table(hists[0]),
+                (1, 0): huffman.optimal_table(hists[1]),
+                (0, 1): huffman.optimal_table(hists[2]),
+                (1, 1): huffman.optimal_table(hists[3]),
+            }
+        else:
+            htables = huffman.standard_tables()
+        luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(htables))
         words, totals, ok = _jit_color_packed(mode, r)(img, qy, qc, *luts, *geom)
         totals_np = np.asarray(totals)
         if not bool(np.asarray(ok).all()):
@@ -392,11 +457,37 @@ def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
 
 
 def _encode_gray(image: np.ndarray, cfg: EncodeConfig, comment,
-                 quant_tables=None) -> bytes:
+                 quant_tables=None, device_pack: bool | None = None) -> bytes:
     h0, w0 = image.shape
     img = tile.pad_to_multiple(jnp.asarray(image), 8, 8)
     qy_np = quant.luma_table(cfg.quality) if quant_tables is None else quant_tables[0]
     qy = jnp.asarray(qy_np)
+
+    r0 = cfg.restart_interval
+    nblocks = (img.shape[0] // 8) * (img.shape[1] // 8)
+    if device_pack is None:
+        device_pack = jax.default_backend() != "cpu"
+    if (device_pack and not cfg.optimize_tables
+            and (r0 == 0 or nblocks % r0 == 0)):
+        htables_full = huffman.standard_tables()
+        luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(htables_full))
+        words, totals, ok = _jit_gray_packed(r0)(img, qy, *luts)
+        if bool(np.asarray(ok).all()):
+            totals_np = np.asarray(totals)
+            parts = []
+            for s in range(len(totals_np)):
+                t = int(totals_np[s])
+                w_host = np.asarray(words[s, : (t + 31) // 32])
+                parts.append(bitpack.finalize_segment(w_host, t).tobytes())
+                if s != len(totals_np) - 1:
+                    parts.append(bytes([0xFF, 0xD0 + (s & 7)]))
+            htables = {(0, 0): htables_full[(0, 0)], (1, 0): htables_full[(1, 0)]}
+            comps = [jfif.ComponentSpec(1, 1, 1, 0, 0, 0)]
+            return jfif.write_jpeg(
+                w0, h0, comps, {0: qy_np}, htables, b"".join(parts),
+                restart_interval=r0, comment=comment,
+            )
+
     zz = np.asarray(_jit_gray()(img, qy))  # raster == scan for one component
 
     r = cfg.restart_interval

@@ -92,3 +92,22 @@ def test_bits_per_block_predicts_scan_size(rng):
     luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(huff))
     bits, nbits = bitpack.build_bitfields(jnp.asarray(blocks), jnp.asarray(tbl), *luts)
     assert predicted == int(np.asarray(nbits).sum())
+
+
+def test_device_pack_optimized_tables_matches_host(tiger):
+    """Two-pass device path (device histograms -> optimal tables -> cached
+    packed program) must equal the host optimized-tables path byte-for-byte."""
+    a = encode(tiger, quality=80, subsampling="420", optimize_tables=True,
+               device_pack=True)
+    b = encode(tiger, quality=80, subsampling="420", optimize_tables=True,
+               device_pack=False)
+    assert a == b
+    assert decode(a).shape == tiger.shape
+
+
+@pytest.mark.parametrize("restart", [0, 4])
+def test_gray_device_pack_matches_host(tiger, restart):
+    g = tiger[:, :, 1]
+    a = encode(g, quality=80, restart_interval=restart, device_pack=True)
+    b = encode(g, quality=80, restart_interval=restart, device_pack=False)
+    assert a == b

@@ -176,3 +176,19 @@ def test_upsample_shapes(rng):
     assert subsample.upsample_plane(p, Subsampling.YUV422).shape == (8, 16)
     up = np.asarray(subsample.upsample_plane(p, Subsampling.YUV420))
     np.testing.assert_array_equal(up[0:2, 0:2], np.full((2, 2), p[0, 0]))
+
+
+def test_stage_timer():
+    import time as _time
+    from jpeg_tpu.utils.metrics import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        _time.sleep(0.01)
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    assert t.counts["a"] == 2 and t.counts["b"] == 1
+    assert t.totals["a"] >= 0.01
+    assert "a:" in t.report()
