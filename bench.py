@@ -97,7 +97,9 @@ def child(platform: str) -> None:
             w_host = np.asarray(words[0, : (t + 31) // 32])
             scan = bitpack.finalize_segment(w_host, t).tobytes()
             return jfif.write_jpeg(w, h, comps, {0: qy_np, 1: qc_np}, htables, scan)
-        return encode(img, quality=75, subsampling="420")
+        # One restart segment per MCU row: the C++ packer threads across
+        # segments (the TPU child keeps r=0 to stay on its cached program).
+        return encode(img, quality=75, subsampling="420", restart_interval=135)
 
     t0 = time.time()
     jpg = device_encode()

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from jpeg_tpu.config import Subsampling, _as_subsampling
+from jpeg_tpu.config import _as_subsampling
 from jpeg_tpu.entropy import encode_np, huffman
 from jpeg_tpu.io import jfif
 from jpeg_tpu.models.encoder import interleave_mcus

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jpeg_tpu.config import EncodeConfig, Subsampling, _as_subsampling
+from jpeg_tpu.config import EncodeConfig, _as_subsampling
 from jpeg_tpu.entropy import huffman
 from jpeg_tpu.io import jfif
 from jpeg_tpu.models import encoder as E

@@ -186,3 +186,69 @@ def test_noninterleaved_multiscan_decode(rng):
     pil = np.asarray(Image.open(io.BytesIO(multiscan)).convert("RGB"))
     np.testing.assert_array_equal(
         pil, np.asarray(Image.open(io.BytesIO(interleaved)).convert("RGB")))
+
+
+def test_tables_redefined_between_scans(rng):
+    """DHT redefinition between non-interleaved scans: each scan must use its
+    own snapshot (B.2.4.2 allows table redefinition mid-stream)."""
+    import jax.numpy as jnp
+    from jpeg_tpu.entropy import encode_np, huffman
+    from jpeg_tpu.models import encoder as E
+    from jpeg_tpu.config import Subsampling
+    from jpeg_tpu.ops import quant
+    from jpeg_tpu import tables as T
+
+    h, w = 16, 16
+    img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    mode = Subsampling.YUV444
+    qy, qc = quant.luma_table(75), quant.chroma_table(75)
+    y, cb, cr = (np.asarray(a) for a in E._jit_color(mode)(
+        jnp.asarray(img), jnp.asarray(qy), jnp.asarray(qc)))
+
+    std = huffman.standard_tables()
+    # "Redefined" tables for the chroma scans: luma-style tables under id 0.
+    alt = {(0, 0): std[(0, 1)], (1, 0): std[(1, 1)]}
+
+    def one_scan(blocks, ht):
+        b = blocks.astype(np.int64).copy()
+        b[1:, 0] = blocks[1:, 0] - blocks[:-1, 0]
+        tbl = np.zeros(len(b), dtype=np.int64)
+        return encode_np.encode_scan(b, tbl, tbl, ht)
+
+    def dht_seg(ht):
+        out = b""
+        for (is_ac, tid), t in sorted(ht.items()):
+            p = bytes([(is_ac << 4) | tid]) + bytes(int(x) for x in t.bits) \
+                + bytes(int(x) for x in t.vals)
+            out += struct.pack(">BBH", 0xFF, jfif.DHT, len(p) + 2) + p
+        return out
+
+    buf = io.BytesIO()
+    buf.write(b"\xff\xd8")
+    for qid, q in [(0, qy), (1, qc)]:
+        zz = np.asarray(q, np.int32).reshape(64)[T.ZIGZAG_ORDER]
+        buf.write(struct.pack(">BBH", 0xFF, jfif.DQT, 67) + bytes([qid])
+                  + bytes(int(x) for x in zz))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, qid in [(1, 0), (2, 1), (3, 1)]:
+        sof += struct.pack(">BBB", cid, 0x11, qid)
+    buf.write(struct.pack(">BBH", 0xFF, jfif.SOF0, len(sof) + 2) + sof)
+
+    # Scan 1 (luma) with the standard id-0 tables...
+    buf.write(dht_seg({(0, 0): std[(0, 0)], (1, 0): std[(1, 0)]}))
+    sos = bytes([1]) + struct.pack(">BB", 1, 0x00) + bytes([0, 63, 0])
+    buf.write(struct.pack(">BBH", 0xFF, jfif.SOS, len(sos) + 2) + sos)
+    buf.write(one_scan(y, {(0, 0): std[(0, 0)], (1, 0): std[(1, 0)]}))
+    # ...then REDEFINE id 0 before the chroma scans.
+    buf.write(dht_seg(alt))
+    for cid, blocks in [(2, cb), (3, cr)]:
+        sos = bytes([1]) + struct.pack(">BB", cid, 0x00) + bytes([0, 63, 0])
+        buf.write(struct.pack(">BBH", 0xFF, jfif.SOS, len(sos) + 2) + sos)
+        buf.write(one_scan(blocks, alt))
+    buf.write(b"\xff\xd9")
+    data = buf.getvalue()
+
+    ours = decode(data)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(ours.shape, pil.shape)
+    assert psnr(ours, pil) > 45.0
