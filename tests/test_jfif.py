@@ -252,3 +252,47 @@ def test_tables_redefined_between_scans(rng):
     pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     np.testing.assert_array_equal(ours.shape, pil.shape)
     assert psnr(ours, pil) > 45.0
+
+
+def test_mixed_dc_ac_table_ids_uses_numpy_fallback(rng):
+    """A scan with Td != Ta is legal; the native decoder declines it and the
+    NumPy path must handle it."""
+    import jax.numpy as jnp
+    from jpeg_tpu.entropy import encode_np, huffman
+    from jpeg_tpu.models import encoder as E
+    from jpeg_tpu.ops import quant
+    from jpeg_tpu import tables as T
+
+    h, w = 16, 24
+    img = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    qy = quant.luma_table(75)
+    zz = np.asarray(E._jit_gray()(jnp.asarray(img), jnp.asarray(qy))).astype(np.int64)
+    zz[1:, 0] = zz[1:, 0] - np.asarray(
+        E._jit_gray()(jnp.asarray(img), jnp.asarray(qy)))[:-1, 0]
+
+    std = huffman.standard_tables()
+    dc_tbl = np.zeros(len(zz), dtype=np.int64)   # DC table id 0
+    ac_tbl = np.ones(len(zz), dtype=np.int64)    # AC table id 1 (chroma-style)
+    scan = encode_np.encode_scan(zz, dc_tbl, ac_tbl, std)
+
+    buf = io.BytesIO()
+    buf.write(b"\xff\xd8")
+    zzq = np.asarray(qy, np.int32).reshape(64)[T.ZIGZAG_ORDER]
+    buf.write(struct.pack(">BBH", 0xFF, jfif.DQT, 67) + bytes([0])
+              + bytes(int(x) for x in zzq))
+    sof = struct.pack(">BHHB", 8, h, w, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    buf.write(struct.pack(">BBH", 0xFF, jfif.SOF0, len(sof) + 2) + sof)
+    for (is_ac, tid) in [(0, 0), (1, 1)]:
+        t = std[(is_ac, tid)]
+        p = bytes([(is_ac << 4) | tid]) + bytes(int(x) for x in t.bits) \
+            + bytes(int(x) for x in t.vals)
+        buf.write(struct.pack(">BBH", 0xFF, jfif.DHT, len(p) + 2) + p)
+    sos = bytes([1]) + struct.pack(">BB", 1, 0x01) + bytes([0, 63, 0])  # Td=0 Ta=1
+    buf.write(struct.pack(">BBH", 0xFF, jfif.SOS, len(sos) + 2) + sos)
+    buf.write(scan)
+    buf.write(b"\xff\xd9")
+    data = buf.getvalue()
+
+    ours = decode(data)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("L"))
+    assert psnr(ours, pil) > 45.0

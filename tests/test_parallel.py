@@ -216,3 +216,12 @@ def test_device_packed_batch_matches_host_path(rng):
     assert a == b
     for jpg in a:
         assert decode(jpg).shape == imgs[0].shape
+
+
+def test_multihost_mesh_single_process():
+    """Without a coordinator it degrades to the local mesh constructor."""
+    from jpeg_tpu.parallel.mesh import make_multihost_mesh
+
+    m = make_multihost_mesh(batch_axis=1)
+    assert m.shape["batch"] == 1
+    assert m.shape["batch"] * m.shape["mcu"] == len(jax.devices())
