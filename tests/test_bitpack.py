@@ -111,3 +111,13 @@ def test_gray_device_pack_matches_host(tiger, restart):
     a = encode(g, quality=80, restart_interval=restart, device_pack=True)
     b = encode(g, quality=80, restart_interval=restart, device_pack=False)
     assert a == b
+
+
+def test_device_pack_overflow_falls_back_end_to_end(rng):
+    """A q=100 noise image overflows the per-block device cap; encode must
+    transparently repack on the host and still match the host path."""
+    img = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    a = encode(img, quality=100, subsampling="444", device_pack=True)
+    b = encode(img, quality=100, subsampling="444", device_pack=False)
+    assert a == b
+    assert decode(a).shape == img.shape
