@@ -230,3 +230,16 @@ def test_decode_411_stream(tiger):
     pil = np.asarray(_Image.open(_io.BytesIO(jpg)).convert("RGB"))
     assert ours.shape == pil.shape
     assert psnr(ours, pil) > 33.0
+
+
+def test_1080p_roundtrip_config3():
+    """BASELINE config 3: 1080p 4:2:0 with restart intervals, PSNR check."""
+    h, w = 1080, 1920
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack([xx % 256, yy % 256, (xx // 8 + yy // 8) % 256], -1).astype(np.uint8)
+    jpg = encode(rgb, quality=75, subsampling="420", restart_interval=120)
+    out = decode(jpg)
+    assert out.shape == rgb.shape
+    assert psnr(out, rgb) > 27.0
+    pil = _pil_decode(jpg)
+    assert psnr(out, pil) > 40.0
