@@ -213,6 +213,10 @@ def _parse_jpeg(data: bytes) -> FrameInfo:
             prec, height, width, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise JpegFormatError(f"unsupported precision {prec}")
+            if width == 0 or height == 0 or nc == 0:
+                raise JpegFormatError(
+                    f"bad frame geometry {width}x{height}x{nc}"
+                )
             components = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", payload, 6 + 3 * i)
