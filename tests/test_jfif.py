@@ -296,3 +296,22 @@ def test_mixed_dc_ac_table_ids_uses_numpy_fallback(rng):
     ours = decode(data)
     pil = np.asarray(Image.open(io.BytesIO(data)).convert("L"))
     assert psnr(ours, pil) > 45.0
+
+
+@pytest.mark.parametrize("restart", [0, 5])
+@pytest.mark.parametrize("optimize", [False, True])
+def test_encode_noninterleaved(rng, restart, optimize):
+    """Our non-interleaved writer: PIL and our decoder both read it, pixels
+    match the interleaved 4:4:4 encoding exactly."""
+    from jpeg_tpu import encode_noninterleaved
+
+    img = rng.integers(0, 256, size=(24, 40, 3)).astype(np.uint8)
+    jpg = encode_noninterleaved(img, quality=80, restart_interval=restart,
+                                optimize_tables=optimize)
+    ref = encode(img, quality=80, subsampling="444", restart_interval=restart)
+    pil_a = np.asarray(Image.open(io.BytesIO(jpg)).convert("RGB"))
+    pil_b = np.asarray(Image.open(io.BytesIO(ref)).convert("RGB"))
+    np.testing.assert_array_equal(pil_a, pil_b)
+    np.testing.assert_array_equal(decode(jpg), decode(ref))
+    info = jfif.parse_jpeg(jpg)
+    assert len(info.scans) == 3
