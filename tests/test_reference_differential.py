@@ -29,9 +29,13 @@ DRIVER = r"""
 #include "headers/quantise.h"
 #include "headers/zig_zag.h"
 
+extern int q_table_lum[8][8];
+extern void scale_table(int q_table[8][8], int quality);
+
 int main(void) {
-    int n;
-    if (scanf("%d", &n) != 1) return 1;
+    int n, quality;
+    if (scanf("%d %d", &n, &quality) != 2) return 1;
+    if (quality != 50) scale_table(q_table_lum, quality);
     for (int t = 0; t < n; t++) {
         Block b = new_block();
         for (int y = 0; y < 8; y++)
@@ -69,8 +73,8 @@ def ref_binary(tmp_path_factory):
     return exe
 
 
-def _run_reference(exe, blocks: np.ndarray) -> np.ndarray:
-    lines = [str(len(blocks))]
+def _run_reference(exe, blocks: np.ndarray, quality: int = 50) -> np.ndarray:
+    lines = [f"{len(blocks)} {quality}"]
     for b in blocks:
         lines.append(" ".join(f"{v:.6f}" for v in b.reshape(64)))
     res = subprocess.run([str(exe)], input="\n".join(lines), text=True,
@@ -130,3 +134,41 @@ def test_golden_block_matches_reference(ref_binary):
     qblock = quant.quantize(dct.fdct_blocks(shifted), tables.QUANT_LUMA.T)
     ours_ref_style = np.asarray(zigzag.to_zigzag(qblock))[0]
     np.testing.assert_array_equal(ours_ref_style, ref_zz)
+
+
+@pytest.mark.parametrize("quality", [55, 75, 92])
+def test_quality_scaled_parity(ref_binary, rng, quality):
+    """q=50-95 contract: same IJG scaling, bit-identical quantized output
+    (with the reference's transposed-table quirk modeled). Qualities that
+    drive table entries to 0 are excluded — the reference divides by zero
+    there (no clamp, SURVEY component 7).
+
+    Exactness statement: any two float DCT implementations (ours, scipy f64,
+    the reference's cos-loop) differ by final-ulp amounts, which flips the
+    quantized value ONLY when coef/Q lands exactly on a .5 rounding boundary
+    (e.g. coefficient 126.0 - 1ulp at Q=12 -> 10.4999... vs 10.5). We
+    therefore require: max deviation 1, a tiny flip count, and every flip
+    verified to sit at a .5 boundary — at off-boundary coefficients the match
+    is bit-for-bit.
+    """
+    import scipy.fft
+
+    from jpeg_tpu import tables
+    from jpeg_tpu.ops import dct, quant, zigzag
+
+    scaled = quant.luma_table(quality)
+    assert scaled.min() >= 1
+    blocks = rng.integers(0, 256, size=(32, 8, 8)).astype(np.float64) - 128.0
+    ref_zz = _run_reference(ref_binary, blocks, quality)
+    coeffs64 = scipy.fft.dctn(blocks, axes=(1, 2), norm="ortho")
+
+    coeffs = np.asarray(dct.fdct_blocks(blocks))
+    ours = np.asarray(zigzag.to_zigzag(quant.quantize(coeffs, scaled.T)))
+    diff = ours.astype(np.int64) - ref_zz
+    assert np.abs(diff).max() <= 1
+    flips = np.argwhere(diff != 0)
+    assert len(flips) <= max(4, ours.size // 400)
+    for i, k in flips:
+        r_, c_ = divmod(tables.ZIGZAG_ORDER[k], 8)
+        ratio = coeffs64[i, r_, c_] / scaled.T[r_, c_]
+        assert abs(abs(ratio) % 1.0 - 0.5) < 1e-3, (i, k, ratio)
