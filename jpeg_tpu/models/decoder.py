@@ -27,24 +27,32 @@ from jpeg_tpu.models import layout
 from jpeg_tpu.ops import color, dct, quant, subsample, tile, zigzag
 
 
-def _reconstruct_plane(zz, qtab, blocks_shape):
+def _reconstruct_plane(zz, qtab, blocks_shape, use_pallas: bool = False):
     """(N, 64) zig-zag quantized blocks -> (H, W) float plane (level-unshifted)."""
     hb, wb = blocks_shape
     blocks = zigzag.from_zigzag(zz.reshape(hb, wb, 64))
+    if use_pallas:
+        from jpeg_tpu.ops import fused
+
+        interp = jax.default_backend() == "cpu"
+        plane = fused.fused_dequant_idct(
+            tile.unblockify(blocks), qtab, interpret=interp
+        )
+        return plane
     coeff = quant.dequantize(blocks, qtab)
     plane = tile.unblockify(dct.idct_blocks(coeff))
     return plane + 128.0
 
 
 def _finish_color(y_zz, cb_zz, cr_zz, qy, qc, yshape, cshape, factors,
-                  fancy: bool = True):
+                  fancy: bool = True, use_pallas: bool = False):
     fh, fv = factors  # chroma-to-luma upsampling factors
     up = (
         subsample.fancy_upsample_factors if fancy else subsample.upsample_factors
     )
-    y = _reconstruct_plane(y_zz, qy, yshape)
-    cb = up(_reconstruct_plane(cb_zz, qc, cshape), fv, fh)
-    cr = up(_reconstruct_plane(cr_zz, qc, cshape), fv, fh)
+    y = _reconstruct_plane(y_zz, qy, yshape, use_pallas)
+    cb = up(_reconstruct_plane(cb_zz, qc, cshape, use_pallas), fv, fh)
+    cr = up(_reconstruct_plane(cr_zz, qc, cshape, use_pallas), fv, fh)
     ycc = jnp.stack([y, cb, cr], axis=-1)
     rgb = color.ycbcr_to_rgb(ycc, clip=False)
     return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
@@ -56,10 +64,10 @@ def _finish_gray(zz, qy, shape):
 
 
 @functools.cache
-def _jit_finish_color(yshape, cshape, factors, fancy=True):
+def _jit_finish_color(yshape, cshape, factors, fancy=True, use_pallas=False):
     return jax.jit(
         functools.partial(_finish_color, yshape=yshape, cshape=cshape,
-                          factors=factors, fancy=fancy)
+                          factors=factors, fancy=fancy, use_pallas=use_pallas)
     )
 
 
@@ -129,11 +137,14 @@ def _decode_noninterleaved(info: jfif.FrameInfo, mcu_rows: int, mcu_cols: int):
     return out
 
 
-def decode(data: bytes, fancy_upsample: bool = True) -> np.ndarray:
+def decode(data: bytes, fancy_upsample: bool = True,
+           use_pallas: bool = False) -> np.ndarray:
     """Decode baseline JPEG bytes to (H, W, 3) RGB or (H, W) gray uint8.
 
     fancy_upsample: triangular chroma interpolation (libjpeg-style) instead of
     pixel doubling — better quality on 4:2:2/4:2:0 streams.
+    use_pallas: run dequantize+IDCT through the fused Pallas kernel (pixel
+    output may differ by +-1 from the XLA path at rounding boundaries).
     """
     info = jfif.parse_jpeg(data)
     comps = info.components
@@ -185,7 +196,8 @@ def decode(data: bytes, fancy_upsample: bool = True) -> np.ndarray:
     qy = jnp.asarray(info.qtables[cy.qtab_id])
     qc = jnp.asarray(info.qtables[ccb.qtab_id])
     out = np.asarray(
-        _jit_finish_color(yshape, cshape, (cy.h, cy.v), bool(fancy_upsample))(
+        _jit_finish_color(yshape, cshape, (cy.h, cy.v), bool(fancy_upsample),
+                          bool(use_pallas))(
             jnp.asarray(y_zz), jnp.asarray(cb_scan), jnp.asarray(cr_scan), qy, qc
         )
     )

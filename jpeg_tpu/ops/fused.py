@@ -59,6 +59,62 @@ def _kernel(x_ref, q_ref, d_ref, out_ref, *, band_rows: int, width: int):
     ).astype(jnp.int32)
 
 
+def _ikernel(c_ref, q_ref, d_ref, out_ref, *, band_rows: int, width: int):
+    """Inverse twin of _kernel: dequantize -> column IDCT -> row IDCT ->
+    level-unshift, one VMEM pass per row band."""
+    c = c_ref[:].astype(jnp.float32) * q_ref[:]
+    d = d_ref[:]
+
+    # Vertical inverse: x[y] = sum_u D[u, y] c[u] — contract axis 0 of D.
+    cb = c.reshape(band_rows // 8, 8, width)
+    v = jax.lax.dot_general(
+        d, cb,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (8, nbands, W) indexed [y, band, w]
+    v = v.transpose(1, 0, 2).reshape(band_rows, width)
+
+    # Horizontal inverse: contract the frequency axis against D's axis 0.
+    vb = v.reshape(band_rows, width // 8, 8)
+    hx = jax.lax.dot_general(
+        vb, d,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out_ref[:] = hx.reshape(band_rows, width) + 128.0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_dequant_idct(coeffs: jnp.ndarray, qtable: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """(H, W) int quantized coefficient plane (image layout) + (8, 8) table ->
+    (H, W) float32 pixel plane (level-unshifted to [0, 255] range). The decode
+    twin of fused_dct_quantize."""
+    h, w = coeffs.shape
+    band = 8
+    for cand in (BAND_ROWS, 32, 16, 8):
+        if h % cand == 0:
+            band = cand
+            break
+    nbands = h // band
+    q = jnp.tile(qtable.astype(jnp.float32), (band // 8, w // 8))
+    return pl.pallas_call(
+        functools.partial(_ikernel, band_rows=band, width=w),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+        grid=(nbands,),
+        in_specs=[
+            pl.BlockSpec((band, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((band, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((band, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(coeffs.astype(jnp.float32), q, jnp.asarray(dct_basis()))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_dct_quantize(plane: jnp.ndarray, qtable: jnp.ndarray,
                        interpret: bool = False) -> jnp.ndarray:

@@ -62,3 +62,37 @@ def test_encode_use_pallas_end_to_end(rng):
     pa = np.asarray(Image.open(io.BytesIO(a)).convert("RGB"))
     pb = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
     assert np.abs(pa.astype(int) - pb.astype(int)).max() <= 2
+
+
+@pytest.mark.parametrize("shape", [(64, 128), (8, 64), (48, 40)])
+def test_fused_idct_matches_xla(rng, shape):
+    """fused_dequant_idct == dequantize_plane + idct_plane + 128."""
+    coeffs = rng.integers(-100, 100, size=shape).astype(np.int32)
+    got = np.asarray(
+        fused.fused_dequant_idct(jnp.asarray(coeffs),
+                                 jnp.asarray(tables.QUANT_LUMA), interpret=True)
+    )
+    deq = quant.dequantize_plane(jnp.asarray(coeffs), tables.QUANT_LUMA)
+    expect = np.asarray(dct.idct_plane(deq)) + 128.0
+    np.testing.assert_allclose(got, expect, atol=1e-2)
+
+
+def test_fused_roundtrip(rng):
+    """fused forward then fused inverse reconstructs the plane closely."""
+    plane = rng.integers(0, 256, size=(32, 64)).astype(np.uint8)
+    ones = np.ones((8, 8), np.int32)
+    q = fused.fused_dct_quantize(jnp.asarray(plane), jnp.asarray(ones),
+                                 interpret=True)
+    back = np.asarray(fused.fused_dequant_idct(q, jnp.asarray(ones),
+                                               interpret=True))
+    assert np.abs(back - plane.astype(np.float32)).max() < 1.0
+
+
+def test_decode_use_pallas(tiger):
+    """decode(use_pallas=True) agrees with the XLA decode to within rounding."""
+    from jpeg_tpu import decode, encode
+
+    jpg = encode(tiger, quality=85, subsampling="420")
+    a = decode(jpg, use_pallas=True)
+    b = decode(jpg)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
