@@ -8,9 +8,10 @@ the encoder stages defining the inverse contracts:
   jitted program [de-zigzag, dequantize, IDCT, level unshift, chroma upsample,
   YCbCr->RGB, clip/round] -> crop to the declared frame size.
 
-Baseline sequential (SOF0/SOF1), 8-bit, 1 or 3 components, luma sampling
-factors up to (2, 2) with (1, 1) chroma — i.e. everything our encoder emits
-plus the common libjpeg output formats.
+Baseline sequential (SOF0/SOF1), 8-bit, 1 or 3 components, power-of-two luma
+sampling factors (up to 4) with (1, 1) chroma, interleaved or non-interleaved
+multi-scan layouts — everything our encoder emits plus the common libjpeg
+output formats.
 """
 
 from __future__ import annotations
