@@ -139,15 +139,22 @@ def _decode_noninterleaved(info: jfif.FrameInfo, mcu_rows: int, mcu_cols: int):
 
 
 def decode(data: bytes, fancy_upsample: bool = True,
-           use_pallas: bool = False) -> np.ndarray:
+           use_pallas: bool = False,
+           max_pixels: int | None = 2_000_000_000) -> np.ndarray:
     """Decode baseline JPEG bytes to (H, W, 3) RGB or (H, W) gray uint8.
 
     fancy_upsample: triangular chroma interpolation (libjpeg-style) instead of
     pixel doubling — better quality on 4:2:2/4:2:0 streams.
     use_pallas: run dequantize+IDCT through the fused Pallas kernel (pixel
     output may differ by +-1 from the XLA path at rounding boundaries).
+    max_pixels: allocation guard against adversarial headers (a 32-byte file
+    can declare a 12.9-gigapixel frame); None disables.
     """
     info = jfif.parse_jpeg(data)
+    if max_pixels is not None and info.width * info.height > max_pixels:
+        raise jfif.JpegFormatError(
+            f"frame {info.width}x{info.height} exceeds max_pixels={max_pixels}"
+        )
     comps = info.components
 
     hmax = max(c.h for c in comps)

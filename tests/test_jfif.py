@@ -315,3 +315,18 @@ def test_encode_noninterleaved(rng, restart, optimize):
     np.testing.assert_array_equal(decode(jpg), decode(ref))
     info = jfif.parse_jpeg(jpg)
     assert len(info.scans) == 3
+
+
+def test_huge_frame_header_rejected():
+    """A tiny file declaring a 12.9-GPix frame must not attempt allocation."""
+    data = io.BytesIO()
+    data.write(b"\xff\xd8")
+    sof = struct.pack(">BHHB", 8, 65535, 65535, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    data.write(struct.pack(">BBH", 0xFF, jfif.SOF0, len(sof) + 2) + sof)
+    zz = bytes(64)
+    data.write(struct.pack(">BBH", 0xFF, jfif.DQT, 67) + bytes([0]) + zz)
+    sos = bytes([1]) + struct.pack(">BB", 1, 0x00) + bytes([0, 63, 0])
+    data.write(struct.pack(">BBH", 0xFF, jfif.SOS, len(sos) + 2) + sos)
+    data.write(b"\x00\xff\xd9")
+    with pytest.raises(jfif.JpegFormatError):
+        decode(data.getvalue())
