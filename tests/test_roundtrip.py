@@ -243,3 +243,21 @@ def test_1080p_roundtrip_config3():
     assert psnr(out, rgb) > 27.0
     pil = _pil_decode(jpg)
     assert psnr(out, pil) > 40.0
+
+
+def test_jit_disabled_golden_run(rng):
+    """SURVEY §5 'race detection' analog: the eager (disable_jit) pipeline must
+    produce byte-identical output to the compiled one."""
+    import jax
+
+    img = rng.integers(0, 256, size=(24, 32, 3)).astype(np.uint8)
+    compiled = encode(img, quality=80, subsampling="420")
+    with jax.disable_jit():
+        eager = encode(img, quality=80, subsampling="420")
+    assert compiled == eager
+
+
+def test_encode_deterministic(tiger):
+    a = encode(tiger, quality=75, subsampling="420")
+    b = encode(tiger, quality=75, subsampling="420")
+    assert a == b
