@@ -50,6 +50,16 @@ def main(argv=None) -> int:
     info = sub.add_parser("info", help="dump JPEG structure")
     info.add_argument("input")
 
+    mos = sub.add_parser("mosaic", help="stripe-sharded single-JFIF encode")
+    mos.add_argument("input")
+    mos.add_argument("output")
+    mos.add_argument("--quality", "-q", type=int, default=75)
+    mos.add_argument("--subsampling", "-s", default="420",
+                     choices=["444", "422", "420"])
+    mos.add_argument("--devices", "-d", type=int, default=None,
+                     help="number of devices to stripe over (default: all)")
+    mos.add_argument("--optimize-tables", action="store_true")
+
     args = ap.parse_args(argv)
 
     from jpeg_tpu import decode, encode
@@ -113,6 +123,25 @@ def main(argv=None) -> int:
               f"{len(data)} bytes, "
               f"bpp={metrics.bits_per_pixel(data, img.shape):.3f}, "
               f"PSNR={metrics.psnr(out, img):.2f} dB")
+        return 0
+
+    if args.cmd == "mosaic":
+        from jpeg_tpu.parallel.mesh import make_mesh
+        from jpeg_tpu.parallel.mosaic import encode_mosaic
+
+        img = bmp.read_bmp(args.input)
+        mesh = make_mesh(args.devices, batch_axis=1)
+        t0 = time.time()
+        data = encode_mosaic(
+            img, quality=args.quality, subsampling=args.subsampling,
+            mesh=mesh, optimize_tables=args.optimize_tables,
+        )
+        dt = time.time() - t0
+        with open(args.output, "wb") as f:
+            f.write(data)
+        mp = img.shape[0] * img.shape[1] / 1e6
+        print(f"{args.input} ({mp:.1f} MPix) -> {args.output}: {len(data)} "
+              f"bytes via {mesh.shape['mcu']} stripes, {dt*1e3:.0f} ms")
         return 0
 
     if args.cmd == "info":
