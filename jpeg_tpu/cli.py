@@ -42,6 +42,9 @@ def main(argv=None) -> int:
     dec = sub.add_parser("decode", help="JPEG -> BMP")
     dec.add_argument("input")
     dec.add_argument("output")
+    dec.add_argument("--entropy", default="auto",
+                     choices=["auto", "native", "numpy", "device"],
+                     help="Huffman scan decode backend (all bit-identical)")
 
     rt = sub.add_parser("roundtrip", help="encode+decode, report PSNR/bpp")
     rt.add_argument("input")
@@ -100,7 +103,7 @@ def main(argv=None) -> int:
         with open(args.input, "rb") as f:
             data = f.read()
         t0 = time.time()
-        img = decode(data)
+        img = decode(data, entropy=args.entropy)
         dt = time.time() - t0
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)

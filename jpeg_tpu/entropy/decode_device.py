@@ -1,0 +1,215 @@
+"""Device-side Huffman scan decoder (JAX, vmapped over restart segments).
+
+Third entropy-decode backend next to decode_np (host NumPy) and native (C++
+thread pool), completing the roadmap item in docs/DESIGN.md §6: Huffman codes
+are self-delimiting but not self-synchronizing, so decode is serial *within*
+a restart segment — but every RSTn marker byte-aligns the stream and resets
+the DC predictors (ITU-T T.81 §F.2.1.3.1), making segments independent. This
+backend pads unstuffed segments to a common length and runs ONE jitted
+program: `vmap` over segments of a `lax.scan` over MCUs, with the bounded AC
+symbol loop as a `lax.while_loop` and 16-bit-window LUT gathers for code
+resolution (same LUT construction as decode_np.make_decode_lut).
+
+The reference has no decoder at all (`src/headers/jpg_decode.h` is an empty
+include-guard shell — SURVEY.md component 16); its entropy stage also shows
+why a serial design cannot scale (single accumulator, huffman.c:29-42).
+
+Invalid codes never abort on device: the LUT maps unassigned windows to
+symbol -1 with length 16 (guaranteed cursor progress), an error flag is
+accumulated in the scan carry, and the host raises ScanDecodeError afterward
+— mirroring decode_np's behavior without data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jpeg_tpu.entropy import decode_np
+from jpeg_tpu.entropy.decode_np import ScanDecodeError
+
+_GUARD = 8  # zero guard bytes appended past every segment's end
+
+
+def _device_luts(htables: dict, slots: list) -> tuple[np.ndarray, np.ndarray]:
+    """Stack (sym, len) 16-bit-peek LUTs for the (is_ac, id) keys in `slots`.
+
+    Unassigned windows get sym=-1 / len=16 so a corrupt stream still advances
+    the bit cursor (no device-side infinite loop) while flagging the error.
+    """
+    sym = np.full((len(slots), 1 << 16), -1, dtype=np.int32)
+    ln = np.full((len(slots), 1 << 16), 16, dtype=np.int32)
+    for i, key in enumerate(slots):
+        s, l = decode_np.make_decode_lut(htables[key])
+        assigned = s >= 0
+        sym[i][assigned] = s[assigned]
+        ln[i][assigned] = l[assigned]
+    return sym, ln
+
+
+def _window(data, pos, limit):
+    """Left-aligned 16-bit peek at bit cursor `pos` (clamped to the buffer)."""
+    i = jnp.minimum(pos >> 3, limit)
+    b = jax.lax.dynamic_slice(data, (i,), (3,))
+    w24 = (b[0] << 16) | (b[1] << 8) | b[2]
+    return (w24 >> (8 - (pos & 7))) & 0xFFFF
+
+
+def _extend(amp, size):
+    """Spec F.2.2.1 EXTEND as arithmetic (no data-dependent branches)."""
+    half = jax.lax.shift_left(1, jnp.maximum(size, 1) - 1)
+    full = jax.lax.shift_left(1, size)
+    return jnp.where(size == 0, 0, jnp.where(amp < half, amp - full + 1, amp))
+
+
+def _decode_block(data, limit, pos, pred, err, dc_sym, dc_len, ac_sym, ac_len):
+    """Decode one 8x8 block starting at bit `pos`; returns (pos, pred, err, row)."""
+    # --- DC ---
+    w = _window(data, pos, limit)
+    s = dc_sym[w]
+    err = err | (s < 0)
+    size = jnp.clip(s, 0, 15)
+    pos = pos + dc_len[w]
+    amp = _window(data, pos, limit) >> (16 - size)
+    pos = pos + size
+    pred = pred + _extend(amp, size)
+    row = jnp.zeros((64,), jnp.int32).at[0].set(pred)
+
+    # --- AC: bounded symbol loop; EOB sets k past the end ---
+    def cond(st):
+        k, _, _, _ = st
+        return k < 64
+
+    def body(st):
+        k, pos, row, err = st
+        w = _window(data, pos, limit)
+        sym = ac_sym[w]
+        err = err | (sym < 0)
+        sym = jnp.maximum(sym, 0)
+        pos = pos + ac_len[w]
+        run, size = sym >> 4, sym & 15
+        is_eob = sym == 0
+        is_zrl = sym == 0xF0
+        amp = _window(data, pos, limit) >> (16 - size)
+        pos = pos + size
+        kw = k + run  # write index for a regular (run, size) symbol
+        err = err | (~is_eob & ~is_zrl & (kw > 63))
+        val = _extend(amp, size)
+        row = jnp.where(
+            is_eob | is_zrl | (kw > 63),
+            row,
+            row.at[jnp.clip(kw, 0, 63)].set(val),
+        )
+        k = jnp.where(is_eob, 64, jnp.where(is_zrl, k + 16, kw + 1))
+        return k, pos, row, err
+
+    _, pos, row, err = jax.lax.while_loop(cond, body, (jnp.int32(1), pos, row, err))
+    return pos, pred, err, row
+
+
+@functools.cache
+def _jit_segments(layout_key: tuple, max_mcu: int, nbytes: int):
+    """Jitted decoder over (S, nbytes) padded segments.
+
+    layout_key: tuple of (comp, bpm, dc_slot, ac_slot) with slot indices into
+    the stacked LUT arrays. Returns (rows (S, max_mcu, bpm_total, 64),
+    end_pos (S,), err (S,)).
+    """
+    ncomp = len(layout_key)
+
+    def one_segment(data, n_valid, sym_luts, len_luts):
+        limit = jnp.int32(nbytes - 3)
+
+        def mcu_body(carry, m):
+            pos, preds, err = carry
+            valid = m < n_valid
+            rows = []
+            pos_in, preds_in = pos, preds
+            for ci, (_comp, bpm, dc_slot, ac_slot) in enumerate(layout_key):
+                for _ in range(bpm):
+                    pos, pred, err, row = _decode_block(
+                        data, limit, pos, preds[ci], err,
+                        sym_luts[dc_slot], len_luts[dc_slot],
+                        sym_luts[ac_slot], len_luts[ac_slot],
+                    )
+                    preds = preds.at[ci].set(pred)
+                    rows.append(row)
+            out = jnp.stack(rows)
+            # Masked MCUs (past the tail segment's end) freeze all state.
+            pos = jnp.where(valid, pos, pos_in)
+            preds = jnp.where(valid, preds, preds_in)
+            out = jnp.where(valid, out, jnp.zeros_like(out))
+            return (pos, preds, err), out
+
+        init = (jnp.int32(0), jnp.zeros((ncomp,), jnp.int32), jnp.bool_(False))
+        (pos, _, err), rows = jax.lax.scan(
+            mcu_body, init, jnp.arange(max_mcu, dtype=jnp.int32)
+        )
+        return rows, pos, err
+
+    return jax.jit(jax.vmap(one_segment, in_axes=(0, 0, None, None)))
+
+
+def decode_scan(
+    scan: bytes,
+    mcu_count: int,
+    mcu_layout: list,
+    htables: dict,
+    restart_interval: int,
+) -> list[np.ndarray]:
+    """Device twin of decode_np.decode_scan (same contract, tables not LUTs)."""
+    segments = decode_np.split_restart_segments(scan)
+    r = restart_interval if restart_interval else mcu_count
+    expected = (mcu_count + r - 1) // r
+    if len(segments) != expected:
+        raise ScanDecodeError(
+            f"expected {expected} restart segments, found {len(segments)}"
+        )
+
+    slots = sorted({(0, dc) for (_, _, dc, _) in mcu_layout}
+                   | {(1, ac) for (_, _, _, ac) in mcu_layout})
+    slot_of = {k: i for i, k in enumerate(slots)}
+    sym_luts, len_luts = _device_luts(htables, slots)
+    layout_key = tuple(
+        (comp, bpm, slot_of[(0, dc)], slot_of[(1, ac)])
+        for (comp, bpm, dc, ac) in mcu_layout
+    )
+
+    unstuffed = [decode_np.unstuff(seg) for seg in segments]
+    seg_bits = np.array([len(u) * 8 for u in unstuffed], dtype=np.int64)
+    # Bucket the padded length to a power of two so near-identical streams
+    # (e.g. the same image re-encoded) reuse the compiled program.
+    nbytes = 1 << max(8, int(max(len(u) for u in unstuffed) + _GUARD).bit_length())
+    data = np.zeros((len(unstuffed), nbytes), dtype=np.int32)
+    for i, u in enumerate(unstuffed):
+        data[i, : len(u)] = u
+    n_valid = np.minimum(
+        r, mcu_count - r * np.arange(len(unstuffed), dtype=np.int64)
+    ).astype(np.int32)
+
+    fn = _jit_segments(layout_key, r, nbytes)
+    rows, end_pos, err = fn(
+        jnp.asarray(data), jnp.asarray(n_valid),
+        jnp.asarray(sym_luts), jnp.asarray(len_luts),
+    )
+    rows = np.asarray(rows)
+    end_pos, err = np.asarray(end_pos), np.asarray(err)
+    if err.any():
+        raise ScanDecodeError(
+            f"invalid Huffman code in segment(s) {np.nonzero(err)[0].tolist()}"
+        )
+    if (end_pos.astype(np.int64) > seg_bits).any():
+        raise ScanDecodeError("bit cursor ran past segment end")
+
+    # (S, r, bpm_total, 64) -> (mcu_count, bpm_total, 64) -> per-component.
+    full = np.concatenate(
+        [rows[s, : n_valid[s]] for s in range(len(unstuffed))], axis=0
+    )
+    out, off = [], 0
+    for (_comp, bpm, _, _) in mcu_layout:
+        out.append(full[:, off : off + bpm, :].reshape(mcu_count * bpm, 64))
+        off += bpm
+    return out

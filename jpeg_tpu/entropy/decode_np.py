@@ -114,12 +114,18 @@ def decode_scan(
 
 def _decode_segment(segment, first_mcu, n_mcu, mcu_layout, luts, out):
     b = unstuff(segment)
-    b = np.concatenate([b, np.zeros(4, dtype=np.uint8)])  # guard bytes
+    max_bits = len(b) * 8
+    # Guard region sized for one worst-case MCU (10 blocks x 64 symbols x
+    # 26 bits < 2.1 KB), so a corrupt stream that free-runs on zero windows
+    # is caught by the per-MCU cursor check below instead of IndexError.
+    b = np.concatenate([b, np.zeros(4096, dtype=np.uint8)])
     data = b.tolist()  # python ints: fastest random access in the bit loop
     pos = 0  # bit cursor
     preds = [0] * len(mcu_layout)
 
     for m in range(n_mcu):
+        if pos > max_bits:
+            raise ScanDecodeError("bit cursor ran past segment end")
         for ci, (comp, bpm, dc_id, ac_id) in enumerate(mcu_layout):
             dc_sym, dc_len = luts[(0, dc_id)]
             ac_sym, ac_len = luts[(1, ac_id)]
@@ -166,5 +172,5 @@ def _decode_segment(segment, first_mcu, n_mcu, mcu_layout, luts, out):
                     pos += size
                     row[k] = _extend(amp, size)
                     k += 1
-    if pos > (len(b) - 4) * 8:
+    if pos > max_bits:
         raise ScanDecodeError("bit cursor ran past segment end")

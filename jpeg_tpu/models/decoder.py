@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jpeg_tpu.entropy import decode_np, native
+from jpeg_tpu.entropy import decode_device, decode_np, native
 from jpeg_tpu.io import jfif
 from jpeg_tpu.models import layout
 from jpeg_tpu.ops import color, dct, quant, subsample, tile, zigzag
@@ -77,14 +77,27 @@ def _jit_finish_gray(shape):
     return jax.jit(functools.partial(_finish_gray, shape=shape))
 
 
-def _decode_scan(info: jfif.FrameInfo, n_mcu: int, mcu_layout: list):
-    """Entropy-decode the scan via the native runtime when the layout allows
+def _decode_scan(info: jfif.FrameInfo, n_mcu: int, mcu_layout: list,
+                 entropy: str = "auto"):
+    """Entropy-decode the scan with the selected backend.
+
+    "auto": the native (C++ thread pool) runtime when the layout allows
     (table ids 0/1, dc_id == ac_id — always true for our own streams), else
-    the NumPy decoder."""
+    the NumPy decoder. "native"/"numpy"/"device" force a backend; "device"
+    runs the jitted per-restart-segment decoder (decode_device)."""
+    if entropy == "device":
+        return decode_device.decode_scan(
+            info.scan_data, n_mcu, mcu_layout, info.htables,
+            info.restart_interval,
+        )
     native_ok = native.available() and all(
         dc == ac and dc in (0, 1) for (_, _, dc, ac) in mcu_layout
     )
-    if native_ok:
+    if entropy == "native" and not native_ok:
+        raise jfif.JpegFormatError(
+            "native entropy backend unavailable for this scan layout"
+        )
+    if native_ok and entropy in ("auto", "native"):
         return native.decode_scan(
             info.scan_data, n_mcu, mcu_layout, info.htables,
             info.restart_interval,
@@ -95,7 +108,8 @@ def _decode_scan(info: jfif.FrameInfo, n_mcu: int, mcu_layout: list):
     )
 
 
-def _decode_noninterleaved(info: jfif.FrameInfo, mcu_rows: int, mcu_cols: int):
+def _decode_noninterleaved(info: jfif.FrameInfo, mcu_rows: int, mcu_cols: int,
+                           entropy: str = "auto"):
     """Multi-scan baseline: one component per scan, MCU = one block (A.2.2).
 
     Returns per-component (N, 64) zig-zag blocks in plane raster order, padded
@@ -123,7 +137,8 @@ def _decode_noninterleaved(info: jfif.FrameInfo, mcu_rows: int, mcu_cols: int):
             qtables=info.qtables, htables=scan.htables,
             restart_interval=scan.restart_interval, scan_data=scan.data,
         )
-        blocks = _decode_scan(sub_info, bh * bw, [(0, 1, dc_id, ac_id)])[0]
+        blocks = _decode_scan(sub_info, bh * bw, [(0, 1, dc_id, ac_id)],
+                              entropy)[0]
         # Pad the raster grid up to the interleaved-MCU geometry.
         gh, gw = mcu_rows * c.v, mcu_cols * c.h
         grid = np.zeros((gh, gw, 64), dtype=blocks.dtype)
@@ -140,7 +155,8 @@ def _decode_noninterleaved(info: jfif.FrameInfo, mcu_rows: int, mcu_cols: int):
 
 def decode(data: bytes, fancy_upsample: bool = True,
            use_pallas: bool = False,
-           max_pixels: int | None = 2_000_000_000) -> np.ndarray:
+           max_pixels: int | None = 2_000_000_000,
+           entropy: str = "auto") -> np.ndarray:
     """Decode baseline JPEG bytes to (H, W, 3) RGB or (H, W) gray uint8.
 
     fancy_upsample: triangular chroma interpolation (libjpeg-style) instead of
@@ -149,7 +165,12 @@ def decode(data: bytes, fancy_upsample: bool = True,
     output may differ by +-1 from the XLA path at rounding boundaries).
     max_pixels: allocation guard against adversarial headers (a 32-byte file
     can declare a 12.9-gigapixel frame); None disables.
+    entropy: Huffman scan decode backend — "auto" (native C++ when the layout
+    allows, else NumPy), "native", "numpy", or "device" (jitted
+    per-restart-segment decoder, decode_device). All are bit-identical.
     """
+    if entropy not in ("auto", "native", "numpy", "device"):
+        raise ValueError(f"unknown entropy backend {entropy!r}")
     info = jfif.parse_jpeg(data)
     if max_pixels is not None and info.width * info.height > max_pixels:
         raise jfif.JpegFormatError(
@@ -169,7 +190,7 @@ def decode(data: bytes, fancy_upsample: bool = True,
         mcu_cols = layout.ceil_div(info.width, 8)
         n_mcu = mcu_rows * mcu_cols
         mcu_layout = [(0, 1, comps[0].dc_id, comps[0].ac_id)]
-        scan_blocks = _decode_scan(info, n_mcu, mcu_layout)[0]
+        scan_blocks = _decode_scan(info, n_mcu, mcu_layout, entropy)[0]
         qy = jnp.asarray(info.qtables[comps[0].qtab_id])
         out = np.asarray(
             _jit_finish_gray((mcu_rows, mcu_cols))(jnp.asarray(scan_blocks), qy)
@@ -190,13 +211,14 @@ def decode(data: bytes, fancy_upsample: bool = True,
             (1, 1, ccb.dc_id, ccb.ac_id),
             (2, 1, ccr.dc_id, ccr.ac_id),
         ]
-        y_scan, cb_scan, cr_scan = _decode_scan(info, n_mcu, mcu_layout)
+        y_scan, cb_scan, cr_scan = _decode_scan(info, n_mcu, mcu_layout,
+                                                entropy)
         # Scan order -> plane raster order.
         inv = layout.inverse_permutation(mcu_rows, mcu_cols, cy.v, cy.h)
         y_zz = y_scan[inv]
     else:
         y_zz, cb_scan, cr_scan = _decode_noninterleaved(
-            info, mcu_rows, mcu_cols
+            info, mcu_rows, mcu_cols, entropy
         )
 
     yshape = (mcu_rows * cy.v, mcu_cols * cy.h)

@@ -1,0 +1,128 @@
+"""Device (jitted, vmapped-over-restart-segments) Huffman scan decoder.
+
+Invariant under test: the device backend is bit-identical to the NumPy and
+C++ backends on every stream class we decode — our own streams (all
+subsamplings, restarts, optimized tables, grayscale, multi-scan) and foreign
+libjpeg streams. SURVEY.md §4 item (b)/(c); DESIGN.md §6 roadmap item
+"Device Huffman decode".
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from jpeg_tpu.entropy import decode_device, decode_np
+from jpeg_tpu.entropy.decode_np import ScanDecodeError
+from jpeg_tpu.io import jfif
+from jpeg_tpu.models import encoder
+from jpeg_tpu.models.decoder import decode
+
+
+def _scan_blocks(data: bytes, entropy: str):
+    """Decode only the entropy layer of an interleaved 3-component stream."""
+    from jpeg_tpu.models import layout
+    from jpeg_tpu.models.decoder import _decode_scan
+
+    info = jfif.parse_jpeg(data)
+    cy, ccb, ccr = info.components
+    mcu_rows = layout.ceil_div(info.height, 8 * cy.v)
+    mcu_cols = layout.ceil_div(info.width, 8 * cy.h)
+    mcu_layout = [
+        (0, cy.h * cy.v, cy.dc_id, cy.ac_id),
+        (1, 1, ccb.dc_id, ccb.ac_id),
+        (2, 1, ccr.dc_id, ccr.ac_id),
+    ]
+    return _decode_scan(info, mcu_rows * mcu_cols, mcu_layout, entropy)
+
+
+@pytest.mark.parametrize("mode", ["4:4:4", "4:2:2", "4:2:0"])
+@pytest.mark.parametrize("restart", [0, 7])
+def test_device_matches_numpy_scan_layers(tiger, mode, restart):
+    data = encoder.encode(tiger, quality=75, subsampling=mode,
+                          restart_interval=restart)
+    ref = _scan_blocks(data, "numpy")
+    dev = _scan_blocks(data, "device")
+    for a, b in zip(ref, dev):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("mode", ["4:4:4", "4:2:0"])
+def test_decode_entropy_device_pixel_identical(tiger, mode):
+    data = encoder.encode(tiger, quality=85, subsampling=mode,
+                          restart_interval=4)
+    np.testing.assert_array_equal(
+        decode(data, entropy="device"), decode(data, entropy="numpy")
+    )
+
+
+def test_device_grayscale_and_optimized_tables(tiger):
+    data = encoder.encode(tiger[..., 0], quality=70, optimize_tables=True,
+                          restart_interval=6)
+    np.testing.assert_array_equal(
+        decode(data, entropy="device"), decode(data, entropy="numpy")
+    )
+
+
+def test_device_foreign_pil_stream(tiger):
+    buf = io.BytesIO()
+    Image.fromarray(tiger).save(buf, format="JPEG", quality=80,
+                                restart_marker_blocks=8)
+    data = buf.getvalue()
+    np.testing.assert_array_equal(
+        decode(data, entropy="device"), decode(data, entropy="numpy")
+    )
+
+
+def test_device_noninterleaved_multiscan(tiger):
+    from jpeg_tpu.models.multiscan import encode_noninterleaved
+
+    data = encode_noninterleaved(tiger, quality=75)
+    np.testing.assert_array_equal(
+        decode(data, entropy="device"), decode(data, entropy="numpy")
+    )
+
+
+def test_device_corrupt_stream_flags_error(tiger):
+    data = bytearray(encoder.encode(tiger, quality=75, optimize_tables=True,
+                                    restart_interval=8))
+    info = jfif.parse_jpeg(bytes(data))
+    # Flip bits mid-scan: optimized tables leave unassigned code space, so a
+    # corrupted window can hit an invalid code; the device backend must raise
+    # or agree with the NumPy backend (never hang or read out of bounds).
+    start = bytes(data).find(info.scan_data)
+    for off in (64, 301, 777):
+        trial = bytearray(data)
+        trial[start + off] ^= 0x55
+        if trial[start + off] == 0xFF or data[start + off] == 0xFF:
+            continue  # would create/destroy a marker, changing segmentation
+        try:
+            a = decode(bytes(trial), entropy="device")
+        except (ScanDecodeError, jfif.JpegFormatError):
+            with pytest.raises((ScanDecodeError, jfif.JpegFormatError)):
+                decode(bytes(trial), entropy="numpy")
+            continue
+        b = decode(bytes(trial), entropy="numpy")
+        np.testing.assert_array_equal(a, b)
+
+
+def test_device_rejects_bad_segment_count(tiger):
+    data = encoder.encode(tiger, quality=75, restart_interval=5)
+    info = jfif.parse_jpeg(data)
+    from jpeg_tpu.models import layout
+    cy = info.components[0]
+    n_mcu = layout.ceil_div(info.height, 8 * cy.v) * layout.ceil_div(
+        info.width, 8 * cy.h
+    )
+    with pytest.raises(ScanDecodeError):
+        decode_device.decode_scan(
+            info.scan_data, n_mcu,
+            [(0, cy.h * cy.v, cy.dc_id, cy.ac_id)], info.htables, 0
+        )
+
+
+def test_unknown_entropy_backend_rejected(tiger):
+    data = encoder.encode(tiger, quality=75)
+    with pytest.raises(ValueError):
+        decode(data, entropy="gpu")
