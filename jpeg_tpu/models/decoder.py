@@ -8,10 +8,11 @@ the encoder stages defining the inverse contracts:
   jitted program [de-zigzag, dequantize, IDCT, level unshift, chroma upsample,
   YCbCr->RGB, clip/round] -> crop to the declared frame size.
 
-Baseline sequential (SOF0/SOF1), 8-bit, 1 or 3 components, power-of-two luma
-sampling factors (up to 4) with (1, 1) chroma, interleaved or non-interleaved
-multi-scan layouts — everything our encoder emits plus the common libjpeg
-output formats.
+Baseline sequential (SOF0/SOF1), 8-bit, 1 or 3 components, arbitrary
+per-component sampling factors 1-4 with integer upsampling ratios (covers
+4:4:4/4:2:2/4:2:0/4:1:1/4:4:0 and mixed layouts), interleaved or
+non-interleaved multi-scan — everything our encoder emits plus the common
+libjpeg output formats.
 """
 
 from __future__ import annotations
@@ -45,16 +46,23 @@ def _reconstruct_plane(zz, qtab, blocks_shape, use_pallas: bool = False):
     return plane + 128.0
 
 
-def _finish_color(y_zz, cb_zz, cr_zz, qy, qc, yshape, cshape, factors,
+def _finish_color(y_zz, cb_zz, cr_zz, qy, qcb, qcr, shapes, factors,
                   fancy: bool = True, use_pallas: bool = False):
-    fh, fv = factors  # chroma-to-luma upsampling factors
+    """shapes: per-component block grids (hb, wb); factors: per-component
+    (fh, fv) upsampling ratios to the max-sampled grid (spec A.1.1 — any
+    component may be subsampled relative to the others, not just chroma)."""
     up = (
         subsample.fancy_upsample_factors if fancy else subsample.upsample_factors
     )
-    y = _reconstruct_plane(y_zz, qy, yshape, use_pallas)
-    cb = up(_reconstruct_plane(cb_zz, qc, cshape, use_pallas), fv, fh)
-    cr = up(_reconstruct_plane(cr_zz, qc, cshape, use_pallas), fv, fh)
-    ycc = jnp.stack([y, cb, cr], axis=-1)
+    planes = []
+    for zz, q, shape, (fh, fv) in zip(
+        (y_zz, cb_zz, cr_zz), (qy, qcb, qcr), shapes, factors
+    ):
+        p = _reconstruct_plane(zz, q, shape, use_pallas)
+        if fh > 1 or fv > 1:
+            p = up(p, fv, fh)
+        planes.append(p)
+    ycc = jnp.stack(planes, axis=-1)
     rgb = color.ycbcr_to_rgb(ycc, clip=False)
     return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
 
@@ -65,10 +73,10 @@ def _finish_gray(zz, qy, shape):
 
 
 @functools.cache
-def _jit_finish_color(yshape, cshape, factors, fancy=True, use_pallas=False):
+def _jit_finish_color(shapes, factors, fancy=True, use_pallas=False):
     return jax.jit(
-        functools.partial(_finish_color, yshape=yshape, cshape=cshape,
-                          factors=factors, fancy=fancy, use_pallas=use_pallas)
+        functools.partial(_finish_color, shapes=shapes, factors=factors,
+                          fancy=fancy, use_pallas=use_pallas)
     )
 
 
@@ -199,36 +207,40 @@ def decode(data: bytes, fancy_upsample: bool = True,
 
     if len(comps) != 3:
         raise jfif.JpegFormatError(f"unsupported component count {len(comps)}")
-    cy, ccb, ccr = comps
-    if (ccb.h, ccb.v) != (1, 1) or (ccr.h, ccr.v) != (1, 1):
-        raise jfif.JpegFormatError("chroma sampling factors must be (1,1)")
-    if cy.h not in (1, 2, 4) or cy.v not in (1, 2, 4):
-        raise jfif.JpegFormatError(f"unsupported luma sampling {(cy.h, cy.v)}")
+    for c in comps:
+        if not (1 <= c.h <= 4 and 1 <= c.v <= 4):
+            raise jfif.JpegFormatError(
+                f"sampling factors out of range: {(c.h, c.v)}"
+            )
+        if hmax % c.h or vmax % c.v:
+            raise jfif.JpegFormatError(
+                f"non-integer upsampling ratio: {(c.h, c.v)} in a frame with "
+                f"max factors {(hmax, vmax)}"
+            )
+    if sum(c.h * c.v for c in comps) > 10:
+        raise jfif.JpegFormatError("more than 10 blocks per MCU (spec B.2.3)")
 
     if len(info.scans) <= 1 and len(info.scans[0].comp_ids) == 3:
         mcu_layout = [
-            (0, cy.h * cy.v, cy.dc_id, cy.ac_id),
-            (1, 1, ccb.dc_id, ccb.ac_id),
-            (2, 1, ccr.dc_id, ccr.ac_id),
+            (i, c.h * c.v, c.dc_id, c.ac_id) for i, c in enumerate(comps)
         ]
-        y_scan, cb_scan, cr_scan = _decode_scan(info, n_mcu, mcu_layout,
-                                                entropy)
-        # Scan order -> plane raster order.
-        inv = layout.inverse_permutation(mcu_rows, mcu_cols, cy.v, cy.h)
-        y_zz = y_scan[inv]
+        scans = _decode_scan(info, n_mcu, mcu_layout, entropy)
+        # Scan order -> plane raster order per component (spec A.2.3).
+        zz = [
+            s[layout.inverse_permutation(mcu_rows, mcu_cols, c.v, c.h)]
+            if c.h * c.v > 1 else s
+            for c, s in zip(comps, scans)
+        ]
     else:
-        y_zz, cb_scan, cr_scan = _decode_noninterleaved(
-            info, mcu_rows, mcu_cols, entropy
-        )
+        zz = _decode_noninterleaved(info, mcu_rows, mcu_cols, entropy)
 
-    yshape = (mcu_rows * cy.v, mcu_cols * cy.h)
-    cshape = (mcu_rows, mcu_cols)
-    qy = jnp.asarray(info.qtables[cy.qtab_id])
-    qc = jnp.asarray(info.qtables[ccb.qtab_id])
+    shapes = tuple((mcu_rows * c.v, mcu_cols * c.h) for c in comps)
+    factors = tuple((hmax // c.h, vmax // c.v) for c in comps)
+    qtabs = [jnp.asarray(info.qtables[c.qtab_id]) for c in comps]
     out = np.asarray(
-        _jit_finish_color(yshape, cshape, (cy.h, cy.v), bool(fancy_upsample),
+        _jit_finish_color(shapes, factors, bool(fancy_upsample),
                           bool(use_pallas))(
-            jnp.asarray(y_zz), jnp.asarray(cb_scan), jnp.asarray(cr_scan), qy, qc
+            *(jnp.asarray(z) for z in zz), *qtabs
         )
     )
     return out[: info.height, : info.width]

@@ -196,11 +196,13 @@ def test_sharded_decode_matches_single_device(rng, mode):
         y, cb, cr, qy, qc, mcu_cols, mesh, mode))
 
     fin = D._jit_finish_color(
-        (mcu_rows * vf, mcu_cols * hf), (mcu_rows, mcu_cols), (hf, vf), True)
+        ((mcu_rows * vf, mcu_cols * hf), (mcu_rows, mcu_cols),
+         (mcu_rows, mcu_cols)),
+        ((1, 1), (hf, vf), (hf, vf)), True)
     for i in range(b):
         expect = np.asarray(fin(
             jnp.asarray(y[i]), jnp.asarray(cb[i]), jnp.asarray(cr[i]),
-            jnp.asarray(qy), jnp.asarray(qc)))
+            jnp.asarray(qy), jnp.asarray(qc), jnp.asarray(qc)))
         np.testing.assert_array_equal(got[i], expect)
 
 
