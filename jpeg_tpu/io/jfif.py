@@ -24,6 +24,7 @@ DQT = 0xDB
 DNL = 0xDC
 DRI = 0xDD
 APP0 = 0xE0
+APP14 = 0xEE
 COM = 0xFE
 SOF0 = 0xC0
 SOF1 = 0xC1
@@ -76,6 +77,9 @@ class FrameInfo:
     scan_data: bytes  # entropy-coded bytes incl. RSTn markers, excl. EOI
     progressive: bool = False
     scans: list = dataclasses.field(default_factory=list)
+    # Adobe APP14 color-transform byte (0 = no transform / RGB, 1 = YCbCr,
+    # 2 = YCCK); None when the marker is absent.
+    adobe_transform: int | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -164,6 +168,7 @@ def _parse_jpeg(data: bytes) -> FrameInfo:
     width = height = 0
     restart_interval = 0
     progressive = False
+    adobe_transform = None
 
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
@@ -173,7 +178,8 @@ def _parse_jpeg(data: bytes) -> FrameInfo:
         if marker == EOI:
             if scans:
                 return _finish_frame(
-                    width, height, components, qtables, scans, progressive
+                    width, height, components, qtables, scans, progressive,
+                    adobe_transform,
                 )
             raise JpegFormatError("EOI before SOS (no image data)")
         if marker in (0x01, *range(0xD0, 0xD8)):  # TEM / RSTn: standalone
@@ -223,6 +229,8 @@ def _parse_jpeg(data: bytes) -> FrameInfo:
                 components.append(ComponentSpec(cid, hv >> 4, hv & 15, tq))
         elif marker == DRI:
             restart_interval = struct.unpack_from(">H", payload, 0)[0]
+        elif marker == APP14 and payload[:5] == b"Adobe" and len(payload) >= 12:
+            adobe_transform = payload[11]
         elif marker == SOS:
             if progressive:
                 raise JpegFormatError("progressive JPEG not supported (baseline only)")
@@ -250,11 +258,13 @@ def _parse_jpeg(data: bytes) -> FrameInfo:
             # Continue: more scans (non-interleaved baseline) may follow.
         # all other markers (APPn, COM, ...) are skipped
     if scans:
-        return _finish_frame(width, height, components, qtables, scans, progressive)
+        return _finish_frame(width, height, components, qtables, scans,
+                             progressive, adobe_transform)
     raise JpegFormatError("no SOS found")
 
 
-def _finish_frame(width, height, components, qtables, scans, progressive):
+def _finish_frame(width, height, components, qtables, scans, progressive,
+                  adobe_transform=None):
     first: ScanInfo = scans[0]
     return FrameInfo(
         width=width,
@@ -266,6 +276,7 @@ def _finish_frame(width, height, components, qtables, scans, progressive):
         scan_data=first.data,
         progressive=progressive,
         scans=scans,
+        adobe_transform=adobe_transform,
     )
 
 

@@ -47,10 +47,13 @@ def _reconstruct_plane(zz, qtab, blocks_shape, use_pallas: bool = False):
 
 
 def _finish_color(y_zz, cb_zz, cr_zz, qy, qcb, qcr, shapes, factors,
-                  fancy: bool = True, use_pallas: bool = False):
+                  fancy: bool = True, use_pallas: bool = False,
+                  is_rgb: bool = False):
     """shapes: per-component block grids (hb, wb); factors: per-component
     (fh, fv) upsampling ratios to the max-sampled grid (spec A.1.1 — any
-    component may be subsampled relative to the others, not just chroma)."""
+    component may be subsampled relative to the others, not just chroma).
+    is_rgb: components are stored as R/G/B (Adobe APP14 transform=0 or
+    'R','G','B' component ids) — skip the YCbCr matrix."""
     up = (
         subsample.fancy_upsample_factors if fancy else subsample.upsample_factors
     )
@@ -63,7 +66,7 @@ def _finish_color(y_zz, cb_zz, cr_zz, qy, qcb, qcr, shapes, factors,
             p = up(p, fv, fh)
         planes.append(p)
     ycc = jnp.stack(planes, axis=-1)
-    rgb = color.ycbcr_to_rgb(ycc, clip=False)
+    rgb = ycc if is_rgb else color.ycbcr_to_rgb(ycc, clip=False)
     return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
 
 
@@ -73,10 +76,11 @@ def _finish_gray(zz, qy, shape):
 
 
 @functools.cache
-def _jit_finish_color(shapes, factors, fancy=True, use_pallas=False):
+def _jit_finish_color(shapes, factors, fancy=True, use_pallas=False,
+                      is_rgb=False):
     return jax.jit(
         functools.partial(_finish_color, shapes=shapes, factors=factors,
-                          fancy=fancy, use_pallas=use_pallas)
+                          fancy=fancy, use_pallas=use_pallas, is_rgb=is_rgb)
     )
 
 
@@ -237,9 +241,15 @@ def decode(data: bytes, fancy_upsample: bool = True,
     shapes = tuple((mcu_rows * c.v, mcu_cols * c.h) for c in comps)
     factors = tuple((hmax // c.h, vmax // c.v) for c in comps)
     qtabs = [jnp.asarray(info.qtables[c.qtab_id]) for c in comps]
+    # Components stored as RGB (no color transform): Adobe APP14 with
+    # transform=0, or literal 'R','G','B' component ids (libjpeg convention).
+    is_rgb = info.adobe_transform == 0 or (
+        info.adobe_transform is None
+        and tuple(c.comp_id for c in comps) == (0x52, 0x47, 0x42)
+    )
     out = np.asarray(
         _jit_finish_color(shapes, factors, bool(fancy_upsample),
-                          bool(use_pallas))(
+                          bool(use_pallas), is_rgb)(
             *(jnp.asarray(z) for z in zz), *qtabs
         )
     )

@@ -101,6 +101,30 @@ def test_exotic_sampling_backend_identity(rng, comps_hv):
     )
 
 
+def test_rgb_jpeg_pil_keep_rgb(rng):
+    """RGB-color-space JPEG (libjpeg 'R','G','B' component ids + Adobe
+    APP14 transform=0): decoded without the YCbCr matrix."""
+    img = np.clip(
+        rng.integers(0, 256, (3,)) // 2
+        + np.mgrid[0:64, 0:80][0][..., None] * np.array([1, 2, 0]),
+        0, 255,
+    ).astype(np.uint8)
+    buf = io.BytesIO()
+    try:
+        Image.fromarray(img).save(buf, "JPEG", quality=95, keep_rgb=True,
+                                  subsampling=0)
+    except (TypeError, ValueError, OSError):
+        pytest.skip("PIL build lacks keep_rgb")
+    jpg = buf.getvalue()
+    info = jfif.parse_jpeg(jpg)
+    assert tuple(c.comp_id for c in info.components) == (0x52, 0x47, 0x42)
+    ours = decode(jpg)
+    pil = np.asarray(Image.open(io.BytesIO(jpg)).convert("RGB"))
+    assert psnr(ours, pil) > 45.0, psnr(ours, pil)
+    # Content check: a YCbCr misinterpretation would destroy the gradient.
+    assert psnr(ours, img) > 30.0, psnr(ours, img)
+
+
 def test_noninteger_ratio_rejected(rng):
     jpg = _craft_stream(rng, [(3, 1), (2, 1), (1, 1)], h=24, w=24)
     with pytest.raises(jfif.JpegFormatError):
