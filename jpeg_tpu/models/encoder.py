@@ -316,11 +316,14 @@ def interleave_mcus(y_scan, cb_scan, cr_scan, hv: int):
     plus the per-block table-id array (0 luma / 1 chroma)."""
     n_mcu = cb_scan.shape[0]
     bpm = hv + 2
-    blocks = np.empty((n_mcu, bpm, 64), dtype=np.int64)
+    # int32 matches the device output dtype and the native packer ABI, so the
+    # packers see this array zero-copy (int64 forced a ~2x-size convert-copy
+    # of the whole coefficient stream on every encode).
+    blocks = np.empty((n_mcu, bpm, 64), dtype=np.int32)
     blocks[:, :hv] = y_scan.reshape(n_mcu, hv, 64)
     blocks[:, hv] = cb_scan
     blocks[:, hv + 1] = cr_scan
-    tbl = np.zeros((n_mcu, bpm), dtype=np.int64)
+    tbl = np.zeros((n_mcu, bpm), dtype=np.uint8)
     tbl[:, hv:] = 1
     return blocks.reshape(-1, 64), tbl.reshape(-1)
 
