@@ -19,7 +19,7 @@ import numpy as np
 def _add_encode_flags(p):
     p.add_argument("--quality", "-q", type=int, default=75)
     p.add_argument("--subsampling", "-s", default="420",
-                   choices=["444", "422", "420"])
+                   choices=["444", "422", "420", "411", "440"])
     p.add_argument("--restart-interval", "-r", type=int, default=0,
                    help="MCUs per restart segment (0 = none)")
     p.add_argument("--optimize-tables", action="store_true",
@@ -58,7 +58,7 @@ def main(argv=None) -> int:
     mos.add_argument("output")
     mos.add_argument("--quality", "-q", type=int, default=75)
     mos.add_argument("--subsampling", "-s", default="420",
-                     choices=["444", "422", "420"])
+                     choices=["444", "422", "420", "411", "440"])
     mos.add_argument("--devices", "-d", type=int, default=None,
                      help="number of devices to stripe over (default: all)")
     mos.add_argument("--optimize-tables", action="store_true")

@@ -21,14 +21,18 @@ class Subsampling(enum.Enum):
     YUV444 = "444"
     YUV422 = "422"
     YUV420 = "420"
+    YUV411 = "411"  # luma (4, 1): 4x horizontal chroma decimation (DV/NTSC)
+    YUV440 = "440"  # luma (1, 2): 2x vertical chroma decimation
 
     @property
     def h_factor(self) -> int:
-        return 1 if self is Subsampling.YUV444 else 2
+        if self in (Subsampling.YUV444, Subsampling.YUV440):
+            return 1
+        return 4 if self is Subsampling.YUV411 else 2
 
     @property
     def v_factor(self) -> int:
-        return 2 if self is Subsampling.YUV420 else 1
+        return 2 if self in (Subsampling.YUV420, Subsampling.YUV440) else 1
 
     @property
     def mcu_width(self) -> int:
@@ -55,7 +59,7 @@ class EncodeConfig:
     """All knobs of the encoder.
 
     quality: IJG quality 1..100 (reference contract: 1-99, jpg_encode.h:85).
-    subsampling: 4:4:4 / 4:2:2 / 4:2:0.
+    subsampling: 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1 / 4:4:0.
     restart_interval: MCUs between RSTn markers; 0 disables. Restart intervals are
         the spec-native parallel seam for both the DC-DPCM chain and entropy
         decode (SURVEY.md §5 "Long-context / sequence parallelism").
