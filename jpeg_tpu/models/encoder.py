@@ -112,7 +112,7 @@ def _interleave_index(n_mcu: int, hv: int, n_y: int, n_c: int) -> np.ndarray:
 
 def _transform_color_packed(
     rgb, qy, qc, dc_code, dc_len, ac_code, ac_len, perm_y, gather, tbl, *,
-    mode: Subsampling, restart_mcus: int,
+    mode: Subsampling, restart_mcus: int, pallas_pack: bool = False,
 ):
     # perm_y/gather/tbl are geometry-derived index arrays passed as runtime
     # arguments: baking them as HLO literals made XLA compiles take minutes.
@@ -131,11 +131,30 @@ def _transform_color_packed(
 
     blocks = jnp.concatenate([y_scan, cb_zz, cr_zz], axis=0)[gather]
 
+    bpm = hv + 2
+    nblocks = n_mcu * bpm
+    if pallas_pack:
+        # Level 1 in VMEM (ops/pack_pallas); level 2 (global offsets) in XLA.
+        from jpeg_tpu.ops import pack_pallas
+
+        interp = jax.default_backend() == "cpu"  # Mosaic kernels need a TPU
+        buf, t_b = pack_pallas.pack_level1_pallas(
+            blocks, tbl, dc_code, dc_len, ac_code, ac_len, interpret=interp
+        )
+        if r == 0 or r >= n_mcu:
+            nwords = nblocks * WORDS_PER_BLOCK + 2
+            words, total, ok = pack_pallas.pack_level2(buf, t_b, nwords)
+            return words[None], total[None], ok[None]
+        nseg = n_mcu // r
+        seg_blocks = r * bpm
+        nwords = seg_blocks * WORDS_PER_BLOCK + 2
+        return jax.vmap(
+            lambda b2, t2: pack_pallas.pack_level2(b2, t2, nwords)
+        )(buf.reshape(nseg, seg_blocks, -1), t_b.reshape(nseg, seg_blocks))
+
     bits, nbits = bitpack.build_bitfields(
         blocks, tbl, dc_code, dc_len, ac_code, ac_len
     )
-    bpm = hv + 2
-    nblocks = n_mcu * bpm
     if r == 0 or r >= n_mcu:
         nwords = nblocks * WORDS_PER_BLOCK + 2
         words, total, ok = bitpack.pack_bits(bits, nbits, nwords)
@@ -150,10 +169,12 @@ def _transform_color_packed(
 
 
 @functools.cache
-def _jit_color_packed(mode: Subsampling, restart_mcus: int):
+def _jit_color_packed(mode: Subsampling, restart_mcus: int,
+                      pallas_pack: bool = False):
     return jax.jit(
         functools.partial(
-            _transform_color_packed, mode=mode, restart_mcus=restart_mcus
+            _transform_color_packed, mode=mode, restart_mcus=restart_mcus,
+            pallas_pack=pallas_pack,
         )
     )
 
@@ -259,10 +280,15 @@ def encode(
     device_pack: bool | None = None,
     quant_tables=None,
     use_pallas: bool = False,
+    use_pallas_pack: bool = False,
 ) -> bytes:
     """Encode an (H, W, 3) RGB or (H, W) grayscale uint8 array (or a .bmp path)
     to baseline JFIF JPEG bytes. The capability contract of jpg_encode.h:85,
-    completed."""
+    completed.
+
+    use_pallas_pack: route the device bit packer's level 1 (per-block word
+    buffers) through the Pallas VMEM kernel instead of the XLA two-level
+    packer; byte-identical output, only meaningful on the device_pack path."""
     cfg = EncodeConfig(
         quality=quality,
         subsampling=subsampling,
@@ -289,7 +315,7 @@ def encode(
         if use_pallas:
             device_pack = False  # pallas variant feeds the host packers
         return _encode_color(image, cfg, comment, device_pack, quant_tables,
-                             use_pallas)
+                             use_pallas, use_pallas_pack)
     raise ValueError(f"expected (H, W, 3) or (H, W) image, got {image.shape}")
 
 
@@ -363,7 +389,8 @@ def _pack_scan(blocks, tbl, cfg: EncodeConfig, bpm: int):
 
 def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
                   device_pack: bool | None = None, quant_tables=None,
-                  use_pallas: bool = False) -> bytes:
+                  use_pallas: bool = False,
+                  use_pallas_pack: bool = False) -> bytes:
     h0, w0 = image.shape[:2]
     mode = cfg.subsampling
     img = tile.pad_to_multiple(jnp.asarray(image), mode.mcu_height, mode.mcu_width)
@@ -395,7 +422,9 @@ def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
         else:
             htables = huffman.standard_tables()
         luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(htables))
-        words, totals, ok = _jit_color_packed(mode, r)(img, qy, qc, *luts, *geom)
+        words, totals, ok = _jit_color_packed(mode, r, use_pallas_pack)(
+            img, qy, qc, *luts, *geom
+        )
         totals_np = np.asarray(totals)
         if not bool(np.asarray(ok).all()):
             scan = None  # a block or segment overflowed the device caps: host pack

@@ -36,6 +36,38 @@ def _bit_size(mag):
     return size
 
 
+def _cummax_lanes(x):
+    """Inclusive row-wise cummax of non-negative (R, C) int32.
+
+    Mosaic has no lowering for lax.cummax; log-doubling shift+max over the
+    lane axis uses only ops it does support (C static).
+    """
+    r, c = x.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
+    s = 1
+    while s < c:
+        rolled = pltpu.roll(x, s, 1)
+        x = jnp.maximum(x, jnp.where(col >= s, rolled, 0))
+        s *= 2
+    return x
+
+
+def _cumsum_lanes(x):
+    """Inclusive row-wise cumsum of small non-negative (R, C) int32 via a
+    lower-triangular MXU matmul (exact in f32: row sums here are < 2^11)."""
+    c = x.shape[1]
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+        >= jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    ).astype(jnp.float32)
+    out = jax.lax.dot_general(
+        x.astype(jnp.float32), tri,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(jnp.int32)
+
+
 def _kernel(blocks_ref, tbl_ref, codes_ref, lens_ref, buf_ref, total_ref,
             *, tile: int):
     v = blocks_ref[:]  # (tile, 64) int32
@@ -43,16 +75,19 @@ def _kernel(blocks_ref, tbl_ref, codes_ref, lens_ref, buf_ref, total_ref,
     codes = codes_ref[:]  # (1024, 1) f32: [dc0, dc1, ac0, ac1] x 256
     lens = lens_ref[:]
 
+    # All bit manipulation in int32 (Mosaic lowers unsigned casts poorly);
+    # shifts that must not replicate the sign bit use shift_right_logical,
+    # and the caller bitcasts the packed words to uint32.
     mag = jnp.abs(v)
     size = _bit_size(mag)
-    amp_full = jnp.where(v >= 0, v, v + (1 << size) - 1).astype(jnp.uint32)
-    amp = amp_full & ((jnp.uint32(1) << size.astype(jnp.uint32)) - 1)
+    amp_full = jnp.where(v >= 0, v, v + (1 << size) - 1)
+    amp = amp_full & ((jnp.int32(1) << size) - 1)
 
     # Zero-run lengths over AC positions (cummax of nonzero indices).
     idx = jax.lax.broadcasted_iota(jnp.int32, (tile, 64), 1)
     nz = (v != 0) & (idx > 0)
     markers = jnp.where(nz, idx, 0)
-    cmax = jax.lax.cummax(markers, axis=1)
+    cmax = _cummax_lanes(markers)
     prev = jnp.concatenate(
         [jnp.zeros((tile, 1), jnp.int32), cmax[:, :-1]], axis=1
     )
@@ -61,7 +96,7 @@ def _kernel(blocks_ref, tbl_ref, codes_ref, lens_ref, buf_ref, total_ref,
 
     # Huffman lookups as one-hot MXU dots against the merged (1024,) tables:
     # flat symbol index = class_base + tbl*256 + symbol.
-    def lut(flat_sym):  # (tile, n) int32 -> (code u32, len i32)
+    def lut(flat_sym):  # (tile, n) int32 -> (code i32, len i32)
         oh = jax.nn.one_hot(flat_sym, 1024, dtype=jnp.float32)  # (tile, n, 1024)
         c = jax.lax.dot_general(
             oh, codes[:, 0],
@@ -73,12 +108,12 @@ def _kernel(blocks_ref, tbl_ref, codes_ref, lens_ref, buf_ref, total_ref,
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return c.astype(jnp.uint32), l.astype(jnp.int32)
+        return c.astype(jnp.int32), l.astype(jnp.int32)
 
     # DC records.
     dsize = size[:, :1]
     dc_code, dc_len = lut(tbl + dsize)  # dc class base 0, tables at 0/256
-    dbits = (dc_code << dsize.astype(jnp.uint32)) | amp[:, :1]
+    dbits = (dc_code << dsize) | amp[:, :1]
     dnbits = dc_len + dsize
 
     # AC (run, size) records.
@@ -87,15 +122,13 @@ def _kernel(blocks_ref, tbl_ref, codes_ref, lens_ref, buf_ref, total_ref,
     ac_code, ac_len = lut(ac_base + jnp.where(nz, sym, 0)[:, 1:])
     ac_code = jnp.where(nz[:, 1:], ac_code, 0)
     ac_len = jnp.where(nz[:, 1:], ac_len, 0)
-    cbits = (ac_code << size[:, 1:].astype(jnp.uint32)) | jnp.where(
-        nz[:, 1:], amp[:, 1:], 0
-    )
+    cbits = (ac_code << size[:, 1:]) | jnp.where(nz[:, 1:], amp[:, 1:], 0)
     cn = ac_len + jnp.where(nz[:, 1:], size[:, 1:], 0)
 
     # ZRL channels.
     zrl_code, zrl_len = lut(ac_base + 0xF0)  # (tile, 1)
     kz = jnp.where(nz, run >> 4, 0)[:, 1:]
-    pair = (zrl_code << zrl_len.astype(jnp.uint32)) | zrl_code
+    pair = (zrl_code << zrl_len) | zrl_code
     n0 = jnp.minimum(kz, 2) * zrl_len
     b0 = jnp.where(kz >= 2, pair, jnp.where(kz == 1, zrl_code, 0))
     n1 = jnp.maximum(kz - 2, 0) * zrl_len
@@ -108,32 +141,51 @@ def _kernel(blocks_ref, tbl_ref, codes_ref, lens_ref, buf_ref, total_ref,
     enbits = jnp.where(has_eob, eob_len, 0)
 
     # Emission order: [DC | (zrl_pair, zrl_single, code)x63 | EOB] = 191.
-    ac_bits = jnp.stack([b0, b1, cbits], axis=-1).reshape(tile, 189)
-    ac_nbits = jnp.stack([n0, n1, cn], axis=-1).reshape(tile, 189)
-    bits = jnp.concatenate([dbits, ac_bits, ebits], axis=1)
-    nbits = jnp.concatenate([dnbits, ac_nbits, enbits], axis=1)
-
-    # Within-block offsets and the one-hot word reduction (level 1).
-    starts = jnp.cumsum(nbits, axis=1) - nbits
-    t_b = starts[:, -1] + nbits[:, -1]
-    sh = (starts & 31).astype(jnp.int32)
-    over = jnp.maximum(sh + nbits - 32, 0)
-    hi = jnp.where(
-        over > 0,
-        bits >> over.astype(jnp.uint32),
-        bits << jnp.clip(32 - sh - nbits, 0, 31).astype(jnp.uint32),
-    ).astype(jnp.uint32)
-    lo = jnp.where(
-        over > 0, bits << jnp.clip(32 - over, 0, 31).astype(jnp.uint32), 0
-    ).astype(jnp.uint32)
-    w_r = jnp.clip(starts >> 5, 0, BLOCK_WORDS - 1)
+    # Mosaic rejects the (tile, 63, 3) -> (tile, 189) interleave reshape, so
+    # instead of materializing the interleaved record stream, compute each
+    # channel's start offsets arithmetically from ONE cumsum over per-slot
+    # totals and accumulate the word buffer channel by channel (the per-slot
+    # emission order b0 -> b1 -> code is encoded in the offset arithmetic).
+    t_slot = n0 + n1 + cn
+    p_incl = _cumsum_lanes(t_slot)
+    s0 = dnbits + (p_incl - t_slot)
+    s1 = s0 + n0
+    s2 = s1 + n1
+    se = dnbits + p_incl[:, 62:63]
+    t_b = (se + enbits)[:, 0]
 
     wg = jnp.arange(BLOCK_WORDS + 1, dtype=jnp.int32)[None, None, :]
-    buf = jnp.sum(
-        jnp.where(w_r[:, :, None] == wg, hi[:, :, None], jnp.uint32(0))
-        + jnp.where((w_r + 1)[:, :, None] == wg, lo[:, :, None], jnp.uint32(0)),
-        axis=1,
-        dtype=jnp.uint32,
+
+    def emit(bits, nbits, starts):
+        """Word-buffer contribution of one record channel (level 1)."""
+        sh = starts & 31
+        over = jnp.maximum(sh + nbits - 32, 0)
+        # Record values never fill 32 bits on their own here, but the composed
+        # ZRL pair can set bit 31; logical right shift keeps packing exact.
+        hi = jnp.where(
+            over > 0,
+            jax.lax.shift_right_logical(bits, over),
+            jax.lax.shift_left(bits, jnp.clip(32 - sh - nbits, 0, 31)),
+        )
+        lo = jnp.where(
+            over > 0, jax.lax.shift_left(bits, jnp.clip(32 - over, 0, 31)), 0
+        )
+        w_r = jnp.clip(starts >> 5, 0, BLOCK_WORDS - 1)
+        # Disjoint bit fields: int32 adds never carry across contributions,
+        # so the bit pattern equals the uint32 sum.
+        return jnp.sum(
+            jnp.where(w_r[:, :, None] == wg, hi[:, :, None], 0)
+            + jnp.where((w_r + 1)[:, :, None] == wg, lo[:, :, None], 0),
+            axis=1,
+            dtype=jnp.int32,
+        )
+
+    buf = (
+        emit(dbits, dnbits, jnp.zeros_like(dnbits))
+        + emit(b0, n0, s0)
+        + emit(b1, n1, s1)
+        + emit(cbits, cn, s2)
+        + emit(ebits, enbits, se)
     )
     buf_ref[:] = buf
     total_ref[:] = t_b[:, None]
@@ -171,7 +223,7 @@ def pack_level1_pallas(blocks, tbl, dc_code, dc_len, ac_code, ac_len,
     buf, total = pl.pallas_call(
         functools.partial(_kernel, tile=TILE),
         out_shape=(
-            jax.ShapeDtypeStruct((bp, BLOCK_WORDS + 1), jnp.uint32),
+            jax.ShapeDtypeStruct((bp, BLOCK_WORDS + 1), jnp.int32),
             jax.ShapeDtypeStruct((bp, 1), jnp.int32),
         ),
         grid=(bp // TILE,),
@@ -193,7 +245,7 @@ def pack_level1_pallas(blocks, tbl, dc_code, dc_len, ac_code, ac_len,
         codes,
         lens,
     )
-    return buf[:b], total[:b, 0]
+    return jax.lax.bitcast_convert_type(buf[:b], jnp.uint32), total[:b, 0]
 
 
 def pack_level2(buf, t_b, nwords: int):

@@ -60,3 +60,18 @@ def test_full_scan_bytes_match_numpy(rng):
     got = bitpack.finalize_segment(np.asarray(words), int(total)).tobytes()
     expect = encode_np.encode_scan(blocks, tbl, tbl, huff)
     assert got == expect
+
+
+def test_encode_use_pallas_pack_byte_identical(rng):
+    """encode(device_pack=True, use_pallas_pack=True) must produce the same
+    JFIF bytes as the XLA two-level device packer, with and without
+    restart segments."""
+    from jpeg_tpu.models.encoder import encode
+
+    img = rng.integers(0, 256, (64, 96, 3)).astype(np.uint8)
+    for mode, r in (("444", 0), ("420", 4)):
+        a = encode(img, quality=80, subsampling=mode, restart_interval=r,
+                   device_pack=True)
+        b = encode(img, quality=80, subsampling=mode, restart_interval=r,
+                   device_pack=True, use_pallas_pack=True)
+        assert a == b
