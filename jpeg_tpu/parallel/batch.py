@@ -159,3 +159,85 @@ def encode_batch(
             )
         )
     return out
+
+
+def decode_batch(jpegs, mesh=None, entropy: str = "auto") -> np.ndarray:
+    """Decode a batch of same-geometry baseline JPEGs to (B, H, W, 3) uint8.
+
+    The data-parallel twin of encode_batch (BASELINE.json config 4, decode
+    direction): entropy decode runs per image on the host (C++ threads per
+    restart segment, or the jitted device decoder with entropy="device"),
+    then ONE sharded program — (batch, mcu-stripe) mesh axes with halo
+    exchange for the triangular chroma upsample — finishes every image.
+    Bit-identical to per-image decode() (fancy upsampling).
+
+    All streams must share geometry, sampling mode, and quant tables (the
+    batch-serving case); the MCU-row count must divide the ``mcu`` axis.
+    """
+    from jpeg_tpu.config import Subsampling
+    from jpeg_tpu.models import layout
+    from jpeg_tpu.models.decoder import _decode_scan
+
+    if mesh is None:
+        mesh = make_mesh()
+    infos = [jfif.parse_jpeg(d) for d in jpegs]
+    i0 = infos[0]
+    comps0 = i0.components
+    if len(comps0) != 3 or any(
+        (c.h, c.v) != (1, 1) for c in comps0[1:]
+    ):
+        raise ValueError("decode_batch needs 3-component standard layouts")
+    mode = next(
+        (m for m in Subsampling
+         if (m.h_factor, m.v_factor) == (comps0[0].h, comps0[0].v)),
+        None,
+    )
+    if mode is None or mode in (Subsampling.YUV411, Subsampling.YUV440):
+        raise ValueError(
+            f"unsupported sampling {(comps0[0].h, comps0[0].v)} for the "
+            "sharded path; decode images individually instead"
+        )
+    for info in infos[1:]:
+        same = (
+            (info.width, info.height) == (i0.width, i0.height)
+            and [(c.h, c.v, c.qtab_id) for c in info.components]
+            == [(c.h, c.v, c.qtab_id) for c in comps0]
+            and all(
+                np.array_equal(info.qtables[k], i0.qtables[k])
+                for k in i0.qtables
+            )
+        )
+        if not same:
+            raise ValueError("decode_batch requires homogeneous streams")
+
+    cy = comps0[0]
+    hv = cy.h * cy.v
+    mcu_rows = layout.ceil_div(i0.height, 8 * cy.v)
+    mcu_cols = layout.ceil_div(i0.width, 8 * cy.h)
+    n_mcu = mcu_rows * mcu_cols
+    sp = mesh.shape["mcu"]
+    if mcu_rows % sp:
+        raise ValueError(
+            f"{mcu_rows} MCU rows not divisible over {sp} stripes"
+        )
+
+    inv = layout.inverse_permutation(mcu_rows, mcu_cols, cy.v, cy.h)
+    ys, cbs, crs = [], [], []
+    mcu_layout = [
+        (i, c.h * c.v, c.dc_id, c.ac_id) for i, c in enumerate(comps0)
+    ]
+    for info in infos:
+        y, cb, cr = _decode_scan(info, n_mcu, mcu_layout, entropy)
+        ys.append(y[inv] if hv > 1 else y)
+        cbs.append(cb)
+        crs.append(cr)
+
+    qy = i0.qtables[comps0[0].qtab_id]
+    qc = i0.qtables[comps0[1].qtab_id]
+    px = np.asarray(
+        shard.sharded_decode_pixels(
+            np.stack(ys), np.stack(cbs), np.stack(crs), qy, qc,
+            mcu_cols, mesh, mode,
+        )
+    )
+    return px[:, : i0.height, : i0.width]

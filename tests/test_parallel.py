@@ -227,3 +227,27 @@ def test_multihost_mesh_single_process():
     m = make_multihost_mesh(batch_axis=1)
     assert m.shape["batch"] == 1
     assert m.shape["batch"] * m.shape["mcu"] == len(jax.devices())
+
+
+@pytest.mark.parametrize("mode", ["444", "420"])
+def test_decode_batch_matches_per_image_decode(rng, mode):
+    """Batched sharded decode (config 4, decode direction) is bit-identical
+    to per-image decode() across entropy backends."""
+    imgs = _test_imgs(rng, b=4, h=64, w=48)
+    mesh = make_mesh(8, batch_axis=2)
+    jpgs = pbatch.encode_batch(imgs, quality=80, subsampling=mode, mesh=mesh)
+    out = pbatch.decode_batch(jpgs, mesh=mesh)
+    ref = np.stack([decode(j) for j in jpgs])
+    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(
+        pbatch.decode_batch(jpgs, mesh=mesh, entropy="device"), ref
+    )
+
+
+def test_decode_batch_rejects_mixed_streams(rng):
+    imgs = _test_imgs(rng, b=2, h=64, w=48)
+    mesh = make_mesh(8, batch_axis=2)
+    a = pbatch.encode_batch(imgs, quality=80, subsampling="420", mesh=mesh)
+    b = pbatch.encode_batch(imgs, quality=50, subsampling="420", mesh=mesh)
+    with pytest.raises(ValueError):
+        pbatch.decode_batch([a[0], b[1]], mesh=mesh)
