@@ -57,6 +57,12 @@ class ScanInfo:
     data: bytes  # entropy-coded bytes incl. RSTn markers
     restart_interval: int
     htables: dict  # (is_ac, id) -> HuffTable at the time of this scan
+    # Spectral selection / successive approximation (progressive scans;
+    # 0, 63, 0, 0 for sequential baseline).
+    ss: int = 0
+    se: int = 63
+    ah: int = 0
+    al: int = 0
 
 
 @dataclasses.dataclass
@@ -232,8 +238,6 @@ def _parse_jpeg(data: bytes) -> FrameInfo:
         elif marker == APP14 and payload[:5] == b"Adobe" and len(payload) >= 12:
             adobe_transform = payload[11]
         elif marker == SOS:
-            if progressive:
-                raise JpegFormatError("progressive JPEG not supported (baseline only)")
             if not components:
                 raise JpegFormatError("SOS before SOF")
             ns = payload[0]
@@ -244,6 +248,9 @@ def _parse_jpeg(data: bytes) -> FrameInfo:
                 by_id[cid].dc_id = td_ta >> 4
                 by_id[cid].ac_id = td_ta & 15
                 comp_ids.append((cid, td_ta >> 4, td_ta & 15))
+            ss, se, ahal = (
+                payload[1 + 2 * ns], payload[2 + 2 * ns], payload[3 + 2 * ns]
+            )
             scan_start = pos
             scan_end = _find_scan_end(data, scan_start)
             scans.append(
@@ -252,6 +259,7 @@ def _parse_jpeg(data: bytes) -> FrameInfo:
                     data=data[scan_start:scan_end],
                     restart_interval=restart_interval,
                     htables=dict(htables),
+                    ss=ss, se=se, ah=ahal >> 4, al=ahal & 15,
                 )
             )
             pos = scan_end

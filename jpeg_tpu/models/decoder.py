@@ -8,11 +8,11 @@ the encoder stages defining the inverse contracts:
   jitted program [de-zigzag, dequantize, IDCT, level unshift, chroma upsample,
   YCbCr->RGB, clip/round] -> crop to the declared frame size.
 
-Baseline sequential (SOF0/SOF1), 8-bit, 1 or 3 components, arbitrary
-per-component sampling factors 1-4 with integer upsampling ratios (covers
-4:4:4/4:2:2/4:2:0/4:1:1/4:4:0 and mixed layouts), interleaved or
-non-interleaved multi-scan — everything our encoder emits plus the common
-libjpeg output formats.
+Sequential (SOF0/SOF1) and progressive (SOF2) Huffman modes, 8-bit, 1 or 3
+components, arbitrary per-component sampling factors 1-4 with integer
+upsampling ratios (covers 4:4:4/4:2:2/4:2:0/4:1:1/4:4:0 and mixed layouts),
+interleaved or non-interleaved multi-scan, RGB-space (Adobe APP14) streams —
+everything our encoder emits plus the common libjpeg output formats.
 """
 
 from __future__ import annotations
@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jpeg_tpu.entropy import decode_device, decode_np, native
+from jpeg_tpu.entropy import decode_device, decode_np, native, progressive_np
 from jpeg_tpu.io import jfif
 from jpeg_tpu.models import layout
 from jpeg_tpu.ops import color, dct, quant, subsample, tile, zigzag
@@ -201,8 +201,11 @@ def decode(data: bytes, fancy_upsample: bool = True,
         mcu_rows = layout.ceil_div(info.height, 8)
         mcu_cols = layout.ceil_div(info.width, 8)
         n_mcu = mcu_rows * mcu_cols
-        mcu_layout = [(0, 1, comps[0].dc_id, comps[0].ac_id)]
-        scan_blocks = _decode_scan(info, n_mcu, mcu_layout, entropy)[0]
+        if info.progressive:
+            scan_blocks = progressive_np.decode_progressive(info)[0]
+        else:
+            mcu_layout = [(0, 1, comps[0].dc_id, comps[0].ac_id)]
+            scan_blocks = _decode_scan(info, n_mcu, mcu_layout, entropy)[0]
         qy = jnp.asarray(info.qtables[comps[0].qtab_id])
         out = np.asarray(
             _jit_finish_gray((mcu_rows, mcu_cols))(jnp.asarray(scan_blocks), qy)
@@ -224,7 +227,9 @@ def decode(data: bytes, fancy_upsample: bool = True,
     if sum(c.h * c.v for c in comps) > 10:
         raise jfif.JpegFormatError("more than 10 blocks per MCU (spec B.2.3)")
 
-    if len(info.scans) <= 1 and len(info.scans[0].comp_ids) == 3:
+    if info.progressive:
+        zz = progressive_np.decode_progressive(info)
+    elif len(info.scans) <= 1 and len(info.scans[0].comp_ids) == 3:
         mcu_layout = [
             (i, c.h * c.v, c.dc_id, c.ac_id) for i, c in enumerate(comps)
         ]

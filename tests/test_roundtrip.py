@@ -132,13 +132,15 @@ def test_decode_foreign_pil_jpeg(tiger, pil_mode):
     assert psnr(ours, pil) > 40.0
 
 
-def test_decode_foreign_optimized_progressive_rejected(tiger):
+def test_decode_foreign_progressive(tiger):
+    """Progressive (SOF2) streams decode via the Annex-G scan merger
+    (entropy/progressive_np.py) and agree with PIL."""
     buf = io.BytesIO()
     Image.fromarray(tiger).save(buf, "JPEG", quality=75, progressive=True)
-    from jpeg_tpu.io import jfif
-
-    with pytest.raises(jfif.JpegFormatError):
-        decode(buf.getvalue())
+    ours = decode(buf.getvalue())
+    pil = np.asarray(Image.open(buf).convert("RGB"))
+    assert ours.shape == pil.shape
+    assert psnr(ours, pil) > 45.0
 
 
 def test_decode_foreign_optimized_tables(tiger):
