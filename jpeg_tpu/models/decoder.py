@@ -30,7 +30,13 @@ from jpeg_tpu.ops import color, dct, quant, subsample, tile, zigzag
 
 
 def _reconstruct_plane(zz, qtab, blocks_shape, use_pallas: bool = False):
-    """(N, 64) zig-zag quantized blocks -> (H, W) float plane (level-unshifted)."""
+    """(N, 64) zig-zag quantized blocks -> (H, W) float plane (level-unshifted).
+
+    The output is range-limited to [0, 255] *before* any upsampling/color
+    math, matching libjpeg's post-IDCT range_limit table: at extreme
+    quantization (q=1) dequantized coefficients drive samples far out of
+    range, and clamping order is observable through the triangular chroma
+    upsample (discovered by the q=1 4:2:0 fuzz case)."""
     hb, wb = blocks_shape
     blocks = zigzag.from_zigzag(zz.reshape(hb, wb, 64))
     if use_pallas:
@@ -40,29 +46,33 @@ def _reconstruct_plane(zz, qtab, blocks_shape, use_pallas: bool = False):
         plane = fused.fused_dequant_idct(
             tile.unblockify(blocks), qtab, interpret=interp
         )
-        return plane
-    coeff = quant.dequantize(blocks, qtab)
-    plane = tile.unblockify(dct.idct_blocks(coeff))
-    return plane + 128.0
+    else:
+        coeff = quant.dequantize(blocks, qtab)
+        plane = tile.unblockify(dct.idct_blocks(coeff)) + 128.0
+    return jnp.clip(plane, 0.0, 255.0)
 
 
 def _finish_color(y_zz, cb_zz, cr_zz, qy, qcb, qcr, shapes, factors,
-                  fancy: bool = True, use_pallas: bool = False,
+                  fancy=(True, True, True), use_pallas: bool = False,
                   is_rgb: bool = False):
     """shapes: per-component block grids (hb, wb); factors: per-component
     (fh, fv) upsampling ratios to the max-sampled grid (spec A.1.1 — any
     component may be subsampled relative to the others, not just chroma).
+    fancy: per-component triangular-vs-replication choice (the caller applies
+    libjpeg's jdsample.c selection, which gates fancy h2v1/h2v2 on the
+    component's downsampled width being > 2).
     is_rgb: components are stored as R/G/B (Adobe APP14 transform=0 or
     'R','G','B' component ids) — skip the YCbCr matrix."""
-    up = (
-        subsample.fancy_upsample_factors if fancy else subsample.upsample_factors
-    )
     planes = []
-    for zz, q, shape, (fh, fv) in zip(
-        (y_zz, cb_zz, cr_zz), (qy, qcb, qcr), shapes, factors
+    for zz, q, shape, (fh, fv), fan in zip(
+        (y_zz, cb_zz, cr_zz), (qy, qcb, qcr), shapes, factors, fancy
     ):
         p = _reconstruct_plane(zz, q, shape, use_pallas)
         if fh > 1 or fv > 1:
+            up = (
+                subsample.fancy_upsample_factors
+                if fan else subsample.upsample_factors
+            )
             p = up(p, fv, fh)
         planes.append(p)
     ycc = jnp.stack(planes, axis=-1)
@@ -75,9 +85,25 @@ def _finish_gray(zz, qy, shape):
     return jnp.clip(jnp.round(plane), 0, 255).astype(jnp.uint8)
 
 
+def upsample_choices(width: int, components, hmax: int,
+                     fancy_requested: bool) -> tuple:
+    """Per-component fancy-vs-replication choice, mirroring libjpeg's
+    jdsample.c start_pass: triangular ("fancy") upsampling applies only when
+    the component's true downsampled width exceeds 2 samples — narrower
+    planes fall back to pixel replication (observable at extreme
+    quantization; found by the 16x4 q=1 4:2:0 fuzz case)."""
+    out = []
+    for c in components:
+        cw = layout.ceil_div(width * c.h, hmax)
+        out.append(bool(fancy_requested) and cw > 2)
+    return tuple(out)
+
+
 @functools.cache
-def _jit_finish_color(shapes, factors, fancy=True, use_pallas=False,
-                      is_rgb=False):
+def _jit_finish_color(shapes, factors, fancy=(True, True, True),
+                      use_pallas=False, is_rgb=False):
+    if isinstance(fancy, bool):  # convenience: one choice for all components
+        fancy = (fancy,) * 3
     return jax.jit(
         functools.partial(_finish_color, shapes=shapes, factors=factors,
                           fancy=fancy, use_pallas=use_pallas, is_rgb=is_rgb)
@@ -252,8 +278,9 @@ def decode(data: bytes, fancy_upsample: bool = True,
         info.adobe_transform is None
         and tuple(c.comp_id for c in comps) == (0x52, 0x47, 0x42)
     )
+    fancy = upsample_choices(info.width, comps, hmax, fancy_upsample)
     out = np.asarray(
-        _jit_finish_color(shapes, factors, bool(fancy_upsample),
+        _jit_finish_color(shapes, factors, fancy,
                           bool(use_pallas), is_rgb)(
             *(jnp.asarray(z) for z in zz), *qtabs
         )

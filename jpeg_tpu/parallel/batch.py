@@ -211,6 +211,15 @@ def decode_batch(jpegs, mesh=None, entropy: str = "auto") -> np.ndarray:
             raise ValueError("decode_batch requires homogeneous streams")
 
     cy = comps0[0]
+    # Narrow chroma planes (downsampled width <= 2) switch libjpeg — and our
+    # per-image decoder — from triangular to replication upsampling
+    # (decoder.upsample_choices). The sharded finisher only implements the
+    # triangular path, so fall back to per-image decode for such tiny frames.
+    if cy.h > 1 and layout.ceil_div(i0.width, cy.h) <= 2:
+        from jpeg_tpu.models.decoder import decode as _decode_one
+
+        return np.stack([_decode_one(d, entropy=entropy) for d in jpegs])
+
     hv = cy.h * cy.v
     mcu_rows = layout.ceil_div(i0.height, 8 * cy.v)
     mcu_cols = layout.ceil_div(i0.width, 8 * cy.h)

@@ -217,7 +217,11 @@ def _stripe_decode(y, cb, cr, qy, qc, *, mode: Subsampling, mcu_cols: int,
         hb = zz.shape[0] // wb
         blocks = zigzag.from_zigzag(zz.reshape(hb, wb, 64))
         coeff = quant.dequantize(blocks, qtab)
-        return tile.unblockify(dct.idct_blocks(coeff)) + 128.0
+        # Range-limit to [0, 255] before upsampling/color, matching
+        # models.decoder._reconstruct_plane (libjpeg post-IDCT semantics).
+        return jnp.clip(
+            tile.unblockify(dct.idct_blocks(coeff)) + 128.0, 0.0, 255.0
+        )
 
     yp = jax.vmap(lambda z: plane(z, qy, mcu_cols * hf))(y)
     cbp = jax.vmap(lambda z: plane(z, qc, mcu_cols))(cb)
