@@ -55,9 +55,10 @@ def _load():
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.jt_encode_scan.restype = ctypes.c_long
         lib.jt_decode_scan.restype = ctypes.c_long
+        lib.jt_index_scan.restype = ctypes.c_long
         lib.jt_count_symbols.restype = None
         lib.jt_version.restype = ctypes.c_int
-        if lib.jt_version() != 2:
+        if lib.jt_version() != 3:
             return None
         _lib = lib
         return _lib
@@ -133,18 +134,8 @@ def count_frequencies(blocks: np.ndarray, tbl: np.ndarray) -> dict:
     }
 
 
-def decode_scan(
-    scan: bytes,
-    mcu_count: int,
-    mcu_layout: list,
-    huff: dict,
-    restart_interval: int,
-    nthreads: int = 0,
-) -> list[np.ndarray]:
-    """Native twin of decode_np.decode_scan (same contract, huff tables not LUTs)."""
-    lib = _load()
-    assert lib is not None
-    ncomp = len(mcu_layout)
+def _scan_layout(mcu_layout: list, huff: dict):
+    """Shared layout/table marshalling for jt_decode_scan / jt_index_scan."""
     comp_bpm = np.array([bpm for (_, bpm, _, _) in mcu_layout], dtype=np.int32)
     blk_comp, blk_occ, blk_tbl = [], [], []
     # Table id per component: JPEG allows distinct DC/AC ids, but our LUT set
@@ -158,7 +149,6 @@ def decode_scan(
     blk_comp = np.array(blk_comp, dtype=np.uint8)
     blk_occ = np.array(blk_occ, dtype=np.uint8)
     blk_tbl = np.array(blk_tbl, dtype=np.uint8)
-    bpm_total = int(comp_bpm.sum())
 
     dc_code = np.zeros((2, 256), dtype=np.uint32)
     dc_len = np.zeros((2, 256), dtype=np.uint8)
@@ -169,6 +159,25 @@ def decode_scan(
         dc_code[dc_id], dc_len[dc_id] = t.code.astype(np.uint32), t.size.astype(np.uint8)
         t = huff[(1, ac_id)]
         ac_code[ac_id], ac_len[ac_id] = t.code.astype(np.uint32), t.size.astype(np.uint8)
+    return (comp_bpm, blk_comp, blk_occ, blk_tbl,
+            dc_code, dc_len, ac_code, ac_len)
+
+
+def decode_scan(
+    scan: bytes,
+    mcu_count: int,
+    mcu_layout: list,
+    huff: dict,
+    restart_interval: int,
+    nthreads: int = 0,
+) -> list[np.ndarray]:
+    """Native twin of decode_np.decode_scan (same contract, huff tables not LUTs)."""
+    lib = _load()
+    assert lib is not None
+    ncomp = len(mcu_layout)
+    (comp_bpm, blk_comp, blk_occ, blk_tbl,
+     dc_code, dc_len, ac_code, ac_len) = _scan_layout(mcu_layout, huff)
+    bpm_total = int(comp_bpm.sum())
 
     data = np.frombuffer(scan, dtype=np.uint8)
     total_blocks = mcu_count * bpm_total
@@ -192,3 +201,49 @@ def decode_scan(
         res.append(out[base : base + bpm * mcu_count])
         base += bpm * mcu_count
     return res
+
+
+def index_scan(
+    scan: bytes,
+    mcu_count: int,
+    mcu_layout: list,
+    huff: dict,
+    restart_interval: int,
+    nthreads: int = 0,
+):
+    """Light host pass for the hybrid device decoder: destuff the scan and
+    record, per block (component-contiguous scan order, same indexing as
+    decode_scan's output), the bit offset of its first AC code in the
+    destuffed stream and its absolute DC coefficient.
+
+    Returns (destuffed bytes ndarray, ac_off (B,) int32, dc (B,) int32).
+    """
+    lib = _load()
+    assert lib is not None
+    ncomp = len(mcu_layout)
+    (comp_bpm, blk_comp, blk_occ, blk_tbl,
+     dc_code, dc_len, ac_code, ac_len) = _scan_layout(mcu_layout, huff)
+    bpm_total = int(comp_bpm.sum())
+
+    data = np.frombuffer(scan, dtype=np.uint8)
+    total_blocks = mcu_count * bpm_total
+    destuffed = np.empty(max(len(data), 1), dtype=np.uint8)
+    ac_off = np.empty(total_blocks, dtype=np.int32)
+    dc = np.empty(total_blocks, dtype=np.int32)
+    n = lib.jt_index_scan(
+        _ptr(data, ctypes.c_uint8), ctypes.c_long(len(data)),
+        ctypes.c_long(mcu_count), ctypes.c_int(bpm_total),
+        _ptr(blk_comp, ctypes.c_uint8), _ptr(blk_occ, ctypes.c_uint8),
+        _ptr(blk_tbl, ctypes.c_uint8),
+        _ptr(dc_code, ctypes.c_uint32), _ptr(dc_len, ctypes.c_uint8),
+        _ptr(ac_code, ctypes.c_uint32), _ptr(ac_len, ctypes.c_uint8),
+        ctypes.c_long(restart_interval), ctypes.c_int(ncomp),
+        _ptr(comp_bpm, ctypes.c_int32),
+        _ptr(destuffed, ctypes.c_uint8), _ptr(ac_off, ctypes.c_int32),
+        _ptr(dc, ctypes.c_int32), ctypes.c_int(nthreads),
+    )
+    if n < 0:
+        from jpeg_tpu.entropy.decode_np import ScanDecodeError
+
+        raise ScanDecodeError(f"native index_scan failed ({n})")
+    return destuffed[:n], ac_off, dc

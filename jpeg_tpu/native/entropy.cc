@@ -342,6 +342,162 @@ long jt_decode_scan(const uint8_t* data, long dlen, long mcu_count,
   return err.load();
 }
 
+// ---------------------------------------------------------------------------
+// Index pass for the hybrid host-index/device-decode path (decode_device
+// decode_scan_indexed): one light walk over the scan that destuffs the bytes
+// and records, per block, the bit offset of its first AC code plus its
+// absolute DC value — the device then entropy-decodes every block's AC
+// coefficients in parallel (the nvJPEG-style hybrid split, done TPU-shaped).
+// Roughly 2x cheaper than a full decode: no coefficient stores, no zig-zag
+// writes, amplitude bits skipped rather than EXTENDed (except DC).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Bit cursor over already-destuffed bytes (no marker/stuffing logic).
+struct Cursor {
+  const uint8_t* d;
+  long len;      // bytes
+  long bit = 0;  // absolute bit position
+
+  inline uint32_t peek16() const {
+    long byte = bit >> 3;
+    uint32_t w = 0;
+    // 3 bytes cover 16 bits at any intra-byte phase; zero-fill past the end.
+    for (int i = 0; i < 3; ++i)
+      w = (w << 8) | (byte + i < len ? d[byte + i] : 0);
+    return (w >> (8 - (bit & 7))) & 0xFFFF;
+  }
+};
+
+int index_segment(const uint8_t* data, long dlen, long bit_base,
+                  long first_mcu, long n_mcu, int bpm,
+                  const uint8_t* blk_comp, const uint8_t* blk_occ,
+                  const uint8_t* blk_tbl,
+                  const DecodeLut* dc_luts, const DecodeLut* ac_luts,
+                  int32_t* ac_off, int32_t* dc_out,
+                  long* comp_base, const int* comp_bpm) {
+  Cursor r{data, dlen};
+  int32_t preds[8] = {0};
+
+  for (long m = 0; m < n_mcu; ++m) {
+    for (int bi = 0; bi < bpm; ++bi) {
+      int comp = blk_comp[bi];
+      int t = blk_tbl[bi];
+      const DecodeLut& dl = dc_luts[t];
+      const DecodeLut& al = ac_luts[t];
+      long block_index =
+          comp_base[comp] + (first_mcu + m) * comp_bpm[comp] + blk_occ[bi];
+
+      uint32_t w = r.peek16();
+      int size = dl.sym[w];
+      if (size < 0) return -2;
+      r.bit += dl.len[w];
+      if (size) {
+        uint32_t amp = r.peek16() >> (16 - size);
+        r.bit += size;
+        preds[comp] += amp < (1u << (size - 1))
+                           ? (int32_t)amp - (1 << size) + 1
+                           : (int32_t)amp;
+      }
+      dc_out[block_index] = preds[comp];
+      ac_off[block_index] = (int32_t)(bit_base + r.bit);
+
+      int k = 1;
+      while (k < 64) {
+        w = r.peek16();
+        int sym = al.sym[w];
+        if (sym < 0) return -3;
+        r.bit += al.len[w] + (sym & 15);  // code + amplitude bits, skipped
+        if (sym == 0) break;              // EOB
+        if (sym == 0xF0) { k += 16; continue; }
+        k += (sym >> 4) + 1;
+        if (k > 64) return -4;
+      }
+      if (r.bit > dlen * 8) return -5;
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+// Destuff + index a full scan (same layout contract as jt_decode_scan).
+// destuffed must hold dlen bytes; ac_off/dc_out hold one int32 per block.
+// Returns the destuffed byte length, or a negative error code.
+long jt_index_scan(const uint8_t* data, long dlen, long mcu_count,
+                   int bpm, const uint8_t* blk_comp, const uint8_t* blk_occ,
+                   const uint8_t* blk_tbl,
+                   const uint32_t* dc_code, const uint8_t* dc_len,
+                   const uint32_t* ac_code, const uint8_t* ac_len,
+                   long restart_interval, int ncomp, const int* comp_bpm,
+                   uint8_t* destuffed, int32_t* ac_off, int32_t* dc_out,
+                   int nthreads) {
+  DecodeLut dc_luts[2], ac_luts[2];
+  for (int t = 0; t < 2; ++t) {
+    dc_luts[t].build(dc_code + t * 256, dc_len + t * 256);
+    ac_luts[t].build(ac_code + t * 256, ac_len + t * 256);
+  }
+  std::vector<long> comp_base(ncomp);
+  long base = 0;
+  for (int c = 0; c < ncomp; ++c) {
+    comp_base[c] = base;
+    base += comp_bpm[c] * mcu_count;
+  }
+
+  // Pass 1 (serial, one memcpy-like sweep): split on RSTn and destuff each
+  // segment into `destuffed`, recording per-segment byte offsets there.
+  struct Seg { long dst_off, dst_len, first_mcu, n_mcu; };
+  std::vector<Seg> segs;
+  long r = restart_interval > 0 ? restart_interval : mcu_count;
+  long mcu0 = 0, dst = 0, i = 0, seg_start = 0;
+  auto close_segment = [&](long end) {
+    long off0 = dst;
+    for (long j = seg_start; j < end; ++j) {
+      uint8_t b = data[j];
+      destuffed[dst++] = b;
+      if (b == 0xFF && j + 1 < end && data[j + 1] == 0x00) ++j;
+    }
+    long n = r < mcu_count - mcu0 ? r : mcu_count - mcu0;
+    segs.push_back({off0, dst - off0, mcu0, n});
+    mcu0 += n;
+  };
+  for (; i + 1 < dlen; ++i) {
+    if (data[i] == 0xFF && data[i + 1] >= 0xD0 && data[i + 1] <= 0xD7) {
+      close_segment(i);
+      seg_start = i + 2;
+      ++i;
+    }
+  }
+  close_segment(dlen);
+
+  // Pass 2: index segments on worker threads.
+  std::atomic<long> next{0};
+  std::atomic<int> err{0};
+  int nt = nthreads > 0 ? nthreads : (int)std::thread::hardware_concurrency();
+  if (nt > (int)segs.size()) nt = (int)segs.size();
+  if (nt < 1) nt = 1;
+  auto worker = [&]() {
+    for (;;) {
+      long s = next.fetch_add(1);
+      if (s >= (long)segs.size() || err.load(std::memory_order_relaxed)) return;
+      const Seg& g = segs[s];
+      if (g.n_mcu <= 0) continue;
+      int e = index_segment(destuffed + g.dst_off, g.dst_len, g.dst_off * 8,
+                            g.first_mcu, g.n_mcu, bpm, blk_comp, blk_occ,
+                            blk_tbl, dc_luts, ac_luts, ac_off, dc_out,
+                            comp_base.data(), comp_bpm);
+      if (e) err.store(e);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  if (err.load()) return err.load();
+  return dst;
+}
+
 // Symbol frequency counting for Annex-K.2 optimized tables: the native twin
 // of encode_np.count_frequencies / ops/symbols.py. hists: 4x256 int64
 // [dc_tbl0, ac_tbl0, dc_tbl1, ac_tbl1], zero-initialized by caller.
@@ -365,6 +521,6 @@ void jt_count_symbols(const int32_t* blocks, const uint8_t* tbl, long nblocks,
   }
 }
 
-int jt_version() { return 2; }
+int jt_version() { return 3; }
 
 }  // extern "C"

@@ -107,6 +107,76 @@ def test_device_corrupt_stream_flags_error(tiger):
         np.testing.assert_array_equal(a, b)
 
 
+# --- hybrid indexed backend (host index pass + parallel device blocks) ----
+
+
+@pytest.mark.parametrize("mode", ["4:4:4", "4:2:2", "4:2:0"])
+@pytest.mark.parametrize("restart", [0, 7])
+def test_indexed_matches_numpy_scan_layers(tiger, mode, restart):
+    data = encoder.encode(tiger, quality=75, subsampling=mode,
+                          restart_interval=restart)
+    ref = _scan_blocks(data, "numpy")
+    idx = _scan_blocks(data, "indexed")
+    for a, b in zip(ref, idx):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+@pytest.mark.parametrize("quality", [10, 75, 97])
+def test_indexed_pixel_identical(tiger, quality):
+    data = encoder.encode(tiger, quality=quality, subsampling="4:2:0",
+                          restart_interval=4)
+    np.testing.assert_array_equal(
+        decode(data, entropy="indexed"), decode(data, entropy="numpy")
+    )
+
+
+def test_indexed_grayscale_and_optimized_tables(tiger):
+    data = encoder.encode(tiger[..., 0], quality=70, optimize_tables=True,
+                          restart_interval=6)
+    np.testing.assert_array_equal(
+        decode(data, entropy="indexed"), decode(data, entropy="numpy")
+    )
+
+
+def test_indexed_foreign_pil_stream(tiger):
+    buf = io.BytesIO()
+    Image.fromarray(tiger).save(buf, format="JPEG", quality=80,
+                                restart_marker_blocks=8)
+    data = buf.getvalue()
+    np.testing.assert_array_equal(
+        decode(data, entropy="indexed"), decode(data, entropy="numpy")
+    )
+
+
+def test_indexed_noninterleaved_multiscan(tiger):
+    from jpeg_tpu.models.multiscan import encode_noninterleaved
+
+    data = encode_noninterleaved(tiger, quality=75)
+    np.testing.assert_array_equal(
+        decode(data, entropy="indexed"), decode(data, entropy="numpy")
+    )
+
+
+def test_indexed_corrupt_stream_flags_error(tiger):
+    data = bytearray(encoder.encode(tiger, quality=75, optimize_tables=True,
+                                    restart_interval=8))
+    info = jfif.parse_jpeg(bytes(data))
+    start = bytes(data).find(info.scan_data)
+    for off in (64, 301, 777):
+        trial = bytearray(data)
+        trial[start + off] ^= 0x55
+        if trial[start + off] == 0xFF or data[start + off] == 0xFF:
+            continue
+        try:
+            a = decode(bytes(trial), entropy="indexed")
+        except (ScanDecodeError, jfif.JpegFormatError):
+            with pytest.raises((ScanDecodeError, jfif.JpegFormatError)):
+                decode(bytes(trial), entropy="numpy")
+            continue
+        b = decode(bytes(trial), entropy="numpy")
+        np.testing.assert_array_equal(a, b)
+
+
 def test_device_rejects_bad_segment_count(tiger):
     data = encoder.encode(tiger, quality=75, restart_interval=5)
     info = jfif.parse_jpeg(data)
