@@ -90,6 +90,12 @@ def child(platform: str) -> None:
 
     use_device_pack = platform != "cpu"
 
+    def sync(x):
+        # axon's block_until_ready doesn't block (CLAUDE.md): sync by pulling
+        # one element through the tunnel.
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(leaf.ravel()[0])
+
     def device_encode():
         if use_device_pack:
             words, totals, ok = fn(dev_img, qy, qc, *luts, *geom)
@@ -114,28 +120,95 @@ def child(platform: str) -> None:
     enc_rate = mpix / enc_s
     log(f"encode (best of 4 epochs): {enc_s*1e3:.1f} ms -> {enc_rate:.1f} MPix/s")
 
+    # --- stage breakdown (VERDICT r1 item 10: quantify the tunnel tax) -----
+    stages = {}
     try:
-        out = decode(jpg)  # warmup
         t0 = time.time()
-        out = decode(jpg)
-        dec_s = time.time() - t0
-        log(f"decode: {dec_s*1e3:.1f} ms -> {mpix/dec_s:.1f} MPix/s")
-        assert out.shape == img.shape
+        staged = jax.device_put(jnp.asarray(img))
+        sync(staged)
+        stages["h2d_ms"] = round((time.time() - t0) * 1e3, 1)
+
+        tf = E._jit_color(mode)
+        sync(tf(dev_img, qy, qc))  # warm + drain the dispatch queue
+        t0 = time.time()
+        sync(tf(dev_img, qy, qc))
+        stages["transform_ms"] = round((time.time() - t0) * 1e3, 1)
+
+        if use_device_pack:
+            t0 = time.time()
+            words, totals, ok = fn(dev_img, qy, qc, *luts, *geom)
+            t = int(np.asarray(totals)[0])
+            stages["pack_ms"] = round(
+                (time.time() - t0) * 1e3 - stages["transform_ms"], 1
+            )
+            t0 = time.time()
+            w_host = np.asarray(words[0, : (t + 31) // 32])
+            stages["d2h_ms"] = round((time.time() - t0) * 1e3, 1)
+            t0 = time.time()
+            scan = bitpack.finalize_segment(w_host, t).tobytes()
+            jfif.write_jpeg(w, h, comps, {0: qy_np, 1: qc_np}, htables, scan)
+            stages["host_ms"] = round((time.time() - t0) * 1e3, 1)
+        log(f"encode stages: {stages}")
+    except Exception as e:
+        log(f"stage breakdown failed: {e}")
+
+    # --- decode: device-resident (pixels stay in HBM — the serving case) ---
+    dec_rate = dec_resident_rate = None
+    dec_stages = {}
+    try:
+        entropy = "indexed" if use_device_pack else "auto"
+        sync(decode(jpg, entropy=entropy, device_output=True))  # warmup
+        t0 = time.time()
+        out = decode(jpg, entropy=entropy, device_output=True)
+        sync(out)
+        dec_res_s = time.time() - t0
+        dec_resident_rate = mpix / dec_res_s
+        log(f"decode (device-resident): {dec_res_s*1e3:.1f} ms -> "
+            f"{dec_resident_rate:.1f} MPix/s")
+        t0 = time.time()
+        host_out = np.asarray(out)
+        dec_stages["d2h_ms"] = round((time.time() - t0) * 1e3, 1)
+        dec_s = dec_res_s + (time.time() - t0)
+        dec_rate = mpix / dec_s
+        log(f"decode (to host): {dec_s*1e3:.1f} ms -> {dec_rate:.1f} MPix/s")
+        assert host_out.shape == img.shape
+
+        from jpeg_tpu.models.decoder import _decode_scan
+        from jpeg_tpu.models import layout as L
+
+        info = jfif.parse_jpeg(jpg)
+        cy = info.components[0]
+        n_mcu = L.ceil_div(info.height, 8 * cy.v) * L.ceil_div(info.width, 8 * cy.h)
+        mcu_layout = [
+            (i, c.h * c.v, c.dc_id, c.ac_id)
+            for i, c in enumerate(info.components)
+        ]
+        t0 = time.time()
+        zz = _decode_scan(info, n_mcu, mcu_layout, entropy)
+        if not isinstance(zz[0], np.ndarray):
+            sync(zz[0])
+        dec_stages["entropy_ms"] = round((time.time() - t0) * 1e3, 1)
+        dec_stages["finish_ms"] = round(
+            dec_res_s * 1e3 - dec_stages["entropy_ms"], 1
+        )
+        log(f"decode stages: {dec_stages}")
     except Exception as e:
         log(f"decode measurement failed: {e}")
 
     tag = "device-resident" if use_device_pack else "host"
-    print(
-        json.dumps(
-            {
-                "metric": f"4K q75 4:2:0 encode to JFIF bytes ({tag}, {platform})",
-                "value": round(enc_rate, 2),
-                "unit": "MPix/s",
-                "vs_baseline": round(enc_rate / BASELINE_MPIX_S, 1),
-            }
-        ),
-        flush=True,
-    )
+    result = {
+        "metric": f"4K q75 4:2:0 encode to JFIF bytes ({tag}, {platform})",
+        "value": round(enc_rate, 2),
+        "unit": "MPix/s",
+        "vs_baseline": round(enc_rate / BASELINE_MPIX_S, 1),
+        "encode_stages": stages,
+        "decode_stages": dec_stages,
+    }
+    if dec_resident_rate is not None:
+        result["decode_mpix_s"] = round(dec_resident_rate, 2)
+    if dec_rate is not None:
+        result["decode_to_host_mpix_s"] = round(dec_rate, 2)
+    print(json.dumps(result), flush=True)
 
 
 def main() -> int:

@@ -205,7 +205,8 @@ def _decode_noninterleaved(info: jfif.FrameInfo, mcu_rows: int, mcu_cols: int,
 def decode(data: bytes, fancy_upsample: bool = True,
            use_pallas: bool = False,
            max_pixels: int | None = 2_000_000_000,
-           entropy: str = "auto") -> np.ndarray:
+           entropy: str = "auto",
+           device_output: bool = False) -> np.ndarray:
     """Decode baseline JPEG bytes to (H, W, 3) RGB or (H, W) gray uint8.
 
     fancy_upsample: triangular chroma interpolation (libjpeg-style) instead of
@@ -219,6 +220,9 @@ def decode(data: bytes, fancy_upsample: bool = True,
     NumPy), "native", "numpy", "device" (jitted per-restart-segment decoder),
     or "indexed" (host index pass + parallel device block decode). All are
     bit-identical.
+    device_output: return the decoded pixels as a device (jax) array instead
+    of downloading to host memory — the serving case where the image feeds
+    further on-device work (e.g. training-input pipelines).
     """
     if entropy not in ("auto", "native", "numpy", "device", "indexed"):
         raise ValueError(f"unknown entropy backend {entropy!r}")
@@ -246,10 +250,9 @@ def decode(data: bytes, fancy_upsample: bool = True,
             mcu_layout = [(0, 1, comps[0].dc_id, comps[0].ac_id)]
             scan_blocks = _decode_scan(info, n_mcu, mcu_layout, entropy)[0]
         qy = jnp.asarray(info.qtables[comps[0].qtab_id])
-        out = np.asarray(
-            _jit_finish_gray((mcu_rows, mcu_cols))(jnp.asarray(scan_blocks), qy)
-        )
-        return out[: info.height, : info.width]
+        out = _jit_finish_gray((mcu_rows, mcu_cols))(jnp.asarray(scan_blocks), qy)
+        out = out[: info.height, : info.width]
+        return out if device_output else np.asarray(out)
 
     if len(comps) != 3:
         raise jfif.JpegFormatError(f"unsupported component count {len(comps)}")
@@ -292,10 +295,9 @@ def decode(data: bytes, fancy_upsample: bool = True,
         and tuple(c.comp_id for c in comps) == (0x52, 0x47, 0x42)
     )
     fancy = upsample_choices(info.width, comps, hmax, fancy_upsample)
-    out = np.asarray(
-        _jit_finish_color(shapes, factors, fancy,
-                          bool(use_pallas), is_rgb)(
-            *(jnp.asarray(z) for z in zz), *qtabs
-        )
+    out = _jit_finish_color(shapes, factors, fancy,
+                            bool(use_pallas), is_rgb)(
+        *(jnp.asarray(z) for z in zz), *qtabs
     )
-    return out[: info.height, : info.width]
+    out = out[: info.height, : info.width]
+    return out if device_output else np.asarray(out)
