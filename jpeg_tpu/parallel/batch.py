@@ -17,7 +17,7 @@ from jpeg_tpu.io import jfif
 from jpeg_tpu.models.encoder import interleave_mcus
 from jpeg_tpu.ops import quant, tile
 from jpeg_tpu.parallel import shard
-from jpeg_tpu.parallel.mesh import make_mesh
+from jpeg_tpu.parallel.mesh import make_mesh, to_host
 
 
 def tables_from_histograms(hists: np.ndarray) -> dict:
@@ -41,11 +41,11 @@ def _encode_batch_device_packed(padded, orig_shape, qy, qc, mesh, mode,
     words, totals, ok = shard.sharded_encode_packed(
         padded, qy, qc, htables, mesh, mode
     )
-    ok_np = np.asarray(ok)
+    ok_np = to_host(ok)
     if not bool(ok_np.all()):
         return None
-    totals_np = np.asarray(totals)
-    words_np = np.asarray(words)
+    totals_np = to_host(totals)
+    words_np = to_host(words)
     b, h0, w0 = orig_shape[0], orig_shape[1], orig_shape[2]
     sp = mesh.shape["mcu"]
     nwords = words_np.shape[1] // sp
@@ -124,8 +124,8 @@ def encode_batch(
     y, cb, cr, hists = shard.sharded_encode_blocks(
         padded, qy, qc, mesh, mode, stripe_restart=stripe_restart
     )
-    y, cb, cr = np.asarray(y), np.asarray(cb), np.asarray(cr)
-    hists = np.asarray(hists)
+    y, cb, cr = to_host(y), to_host(cb), to_host(cr)
+    hists = to_host(hists)
 
     hv = mode.h_factor * mode.v_factor
     hp, wp = padded.shape[1], padded.shape[2]
@@ -243,7 +243,7 @@ def decode_batch(jpegs, mesh=None, entropy: str = "auto") -> np.ndarray:
 
     qy = i0.qtables[comps0[0].qtab_id]
     qc = i0.qtables[comps0[1].qtab_id]
-    px = np.asarray(
+    px = to_host(
         shard.sharded_decode_pixels(
             np.stack(ys), np.stack(cbs), np.stack(crs), qy, qc,
             mcu_cols, mesh, mode,

@@ -37,6 +37,33 @@ def make_mesh(n_devices: int | None = None, batch_axis: int | None = None) -> Me
     return Mesh(arr, axis_names=("batch", "mcu"))
 
 
+def to_host(x) -> np.ndarray:
+    """Gather a (possibly multi-process) global array to host memory.
+
+    np.asarray works only on fully-addressable arrays; across processes the
+    shards live on other hosts, so every process all-gathers the global value
+    (jax.experimental.multihost_utils) — the host-assembly steps of
+    encode_batch/decode_batch then run identically on every process.
+    """
+    if isinstance(x, np.ndarray) or getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def host_to_global(x, spec):
+    """device_put that also works when `spec` spans multiple processes.
+
+    A committed single-device array cannot be resharded across processes, so
+    under multi-process the value is first materialized on the host (every
+    process holds the same full value by construction) and then sharded.
+    """
+    if jax.process_count() > 1 and not isinstance(x, np.ndarray):
+        x = np.asarray(x)
+    return jax.device_put(x, spec)
+
+
 def make_multihost_mesh(batch_axis: int | None = None,
                         coordinator_address: str | None = None,
                         num_processes: int | None = None,

@@ -31,6 +31,7 @@ from jpeg_tpu.config import Subsampling
 from jpeg_tpu.models import layout
 from jpeg_tpu.models.encoder import _transform_color
 from jpeg_tpu.ops import symbols
+from jpeg_tpu.parallel import mesh as mesh_mod
 
 
 def _stripe_transform(imgs, qy, qc, mode: Subsampling, mcu_cols: int):
@@ -156,7 +157,7 @@ def sharded_encode_packed(imgs, qy, qc, huff: dict, mesh: Mesh,
     luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(huff))
     fn = _build_sharded_packed_fn(mesh, mode, mcu_cols)
     spec = NamedSharding(mesh, P("batch", "mcu"))
-    imgs = jax.device_put(jnp.asarray(imgs), spec)
+    imgs = mesh_mod.host_to_global(imgs, spec)
     return fn(imgs, jnp.asarray(qy), jnp.asarray(qc), *luts)
 
 
@@ -269,9 +270,9 @@ def sharded_decode_pixels(y_zz, cb_zz, cr_zz, qy, qc, mcu_cols: int,
     MCU-row count must divide evenly over the ``mcu`` axis.
     """
     spec = NamedSharding(mesh, P("batch", "mcu"))
-    y_zz = jax.device_put(jnp.asarray(y_zz), spec)
-    cb_zz = jax.device_put(jnp.asarray(cb_zz), spec)
-    cr_zz = jax.device_put(jnp.asarray(cr_zz), spec)
+    y_zz = mesh_mod.host_to_global(y_zz, spec)
+    cb_zz = mesh_mod.host_to_global(cb_zz, spec)
+    cr_zz = mesh_mod.host_to_global(cr_zz, spec)
     fn = _build_sharded_decode(mesh, mode, int(mcu_cols))
     return fn(y_zz, cb_zz, cr_zz, jnp.asarray(qy), jnp.asarray(qc))
 
@@ -308,5 +309,5 @@ def sharded_encode_blocks(
     mcu_cols = w // mode.mcu_width
     fn = _build_sharded_fn(mesh, mode, bool(stripe_restart), mcu_cols)
     spec = NamedSharding(mesh, P("batch", "mcu"))
-    imgs = jax.device_put(jnp.asarray(imgs), spec)
+    imgs = mesh_mod.host_to_global(imgs, spec)
     return fn(imgs, jnp.asarray(qy), jnp.asarray(qc))
