@@ -31,13 +31,23 @@ def tables_from_histograms(hists: np.ndarray) -> dict:
 
 
 def _encode_batch_device_packed(padded, orig_shape, qy, qc, mesh, mode,
-                                quality) -> list[bytes] | None:
+                                optimize_tables: bool = False,
+                                ) -> list[bytes] | None:
     """Device path: every stripe entropy-packs its own restart segment on its
     own shard; the host only finalizes (stuff/pad) and stitches with RSTn.
-    Returns None if any stripe overflowed the per-block device cap."""
+    With optimize_tables, a first device pass psums global symbol histograms
+    (blocks never leave the chips) and the Annex-K.2 tables feed the packing
+    pass — the two-pass flow of models.encoder, batch-sharded. Returns None
+    if any stripe overflowed the per-block device cap."""
     from jpeg_tpu.ops import bitpack
 
-    htables = huffman.standard_tables()
+    if optimize_tables:
+        hists = to_host(shard.sharded_histograms(
+            padded, qy, qc, mesh, mode, stripe_restart=True
+        ))
+        htables = tables_from_histograms(hists)
+    else:
+        htables = huffman.standard_tables()
     words, totals, ok = shard.sharded_encode_packed(
         padded, qy, qc, htables, mesh, mode
     )
@@ -113,9 +123,10 @@ def encode_batch(
     qy = quant.luma_table(quality)
     qc = quant.chroma_table(quality)
 
-    if device_pack and stripe_restart and not optimize_tables:
+    if device_pack and stripe_restart:
         out = _encode_batch_device_packed(
-            padded, imgs.shape, qy, qc, mesh, mode, quality
+            padded, imgs.shape, qy, qc, mesh, mode,
+            optimize_tables=optimize_tables,
         )
         if out is not None:
             return out

@@ -162,6 +162,51 @@ def sharded_encode_packed(imgs, qy, qc, huff: dict, mesh: Mesh,
 
 
 @functools.lru_cache(maxsize=64)
+def _build_sharded_hist_fn(mesh: Mesh, mode: Subsampling,
+                           stripe_restart: bool, mcu_cols: int):
+    step = functools.partial(
+        _stripe_step, mode=mode, mcu_cols=mcu_cols,
+        stripe_restart=stripe_restart, sp=mesh.shape["mcu"],
+    )
+
+    def hist_only(imgs, qy, qc):
+        y, _, _, hists = step(imgs, qy, qc)
+        # The 1-element sharded co-output is load-bearing: with ONLY the
+        # replicated histogram as output, the SPMD partitioner chooses to
+        # replicate the whole computation instead of partitioning it, which
+        # changes the stripe structure (and thus the DPCM chains) and yields
+        # wrong statistics. A sharded output pins the partitioning.
+        return hists, y[:, :1, :1]
+
+    mapped = shard_map(
+        hist_only,
+        mesh=mesh,
+        in_specs=(P("batch", "mcu"), P(), P()),
+        out_specs=(P(), P("batch", "mcu")),
+        check_vma=False,
+    )
+    fn = jax.jit(mapped)
+    return lambda *a: fn(*a)[0]
+
+
+def sharded_histograms(imgs, qy, qc, mesh: Mesh,
+                       mode: Subsampling = Subsampling.YUV420,
+                       stripe_restart: bool = True):
+    """Pass 1 of the device-packed optimized-table batch encode: global
+    (4, 256) symbol histograms psum'd over the whole mesh, blocks never
+    leaving the device. Same geometry contract as sharded_encode_blocks."""
+    b, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    dp, sp = mesh.shape["batch"], mesh.shape["mcu"]
+    if b % dp or h % (mode.mcu_height * sp) or w % mode.mcu_width:
+        raise ValueError(f"geometry {imgs.shape} not tileable over mesh {mesh.shape}")
+    fn = _build_sharded_hist_fn(mesh, mode, bool(stripe_restart),
+                                w // mode.mcu_width)
+    spec = NamedSharding(mesh, P("batch", "mcu"))
+    imgs = mesh_mod.host_to_global(imgs, spec)
+    return fn(imgs, jnp.asarray(qy), jnp.asarray(qc))
+
+
+@functools.lru_cache(maxsize=64)
 def _build_sharded_fn(mesh: Mesh, mode: Subsampling, stripe_restart: bool,
                       mcu_cols: int):
     fn = functools.partial(

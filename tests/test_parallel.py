@@ -220,6 +220,28 @@ def test_device_packed_batch_matches_host_path(rng):
         assert decode(jpg).shape == imgs[0].shape
 
 
+def test_device_packed_batch_optimized_tables_matches_host_path(rng):
+    """optimize_tables must stay on the device-pack fast path (two device
+    passes: psum'd histograms -> K.2 tables -> per-stripe packing) and still
+    be byte-identical to the host-packed path (VERDICT r1 item 7)."""
+    imgs = _test_imgs(rng, b=2, h=64, w=48)
+    mesh = make_mesh(8, batch_axis=2)
+    a = pbatch.encode_batch(imgs, quality=80, subsampling="420", mesh=mesh,
+                            stripe_restart=True, device_pack=True,
+                            optimize_tables=True)
+    b = pbatch.encode_batch(imgs, quality=80, subsampling="420", mesh=mesh,
+                            stripe_restart=True, device_pack=False,
+                            optimize_tables=True)
+    assert a == b
+    # Optimized tables must actually differ from the standard-table output
+    # (i.e. the flag was not silently dropped).
+    c = pbatch.encode_batch(imgs, quality=80, subsampling="420", mesh=mesh,
+                            stripe_restart=True, device_pack=True)
+    assert a != c
+    for jpg in a:
+        assert decode(jpg).shape == imgs[0].shape
+
+
 def test_multihost_mesh_single_process():
     """Without a coordinator it degrades to the local mesh constructor."""
     from jpeg_tpu.parallel.mesh import make_multihost_mesh
