@@ -56,9 +56,10 @@ def _load():
         lib.jt_encode_scan.restype = ctypes.c_long
         lib.jt_decode_scan.restype = ctypes.c_long
         lib.jt_index_scan.restype = ctypes.c_long
+        lib.jt_progressive_scan.restype = ctypes.c_long
         lib.jt_count_symbols.restype = None
         lib.jt_version.restype = ctypes.c_int
-        if lib.jt_version() != 3:
+        if lib.jt_version() != 4:
             return None
         _lib = lib
         return _lib
@@ -201,6 +202,68 @@ def decode_scan(
         res.append(out[base : base + bpm * mcu_count])
         base += bpm * mcu_count
     return res
+
+
+def progressive_scan(
+    data: bytes,
+    kind: int,
+    ss: int,
+    se: int,
+    al: int,
+    n_units: int,
+    restart_interval: int,
+    mcu_cols: int,
+    comp_geom: list,
+    grids: list,
+    tables: list,
+    nthreads: int = 0,
+) -> None:
+    """Decode one progressive (SOF2) scan in place — native twin of the
+    per-scan loops in entropy/progressive_np.py.
+
+    kind: 0 DC first, 1 DC refine, 2 AC first, 3 AC refine.
+    comp_geom: per scan component (v, h, gw, bw) — sampling factors, grid row
+    stride in blocks, and own block-raster width.
+    grids: per scan component contiguous int32 ndarray (gh, gw, 64), mutated.
+    tables: per scan component HuffTable (DC tables for kind 0, the single AC
+    table for kinds 2/3; empty/ignored for kind 1).
+    """
+    lib = _load()
+    assert lib is not None
+    ncomp = len(comp_geom)
+    comp_v = np.array([g[0] for g in comp_geom], dtype=np.int32)
+    comp_h = np.array([g[1] for g in comp_geom], dtype=np.int32)
+    comp_gw = np.array([g[2] for g in comp_geom], dtype=np.int32)
+    comp_bw = np.array([g[3] for g in comp_geom], dtype=np.int32)
+    codes = np.zeros((max(ncomp, 1), 256), dtype=np.uint32)
+    lens = np.zeros((max(ncomp, 1), 256), dtype=np.uint8)
+    for i, t in enumerate(tables):
+        if t is not None:
+            codes[i] = t.code.astype(np.uint32)
+            lens[i] = t.size.astype(np.uint8)
+    ptrs = (ctypes.POINTER(ctypes.c_int32) * ncomp)()
+    for i, g in enumerate(grids):
+        assert g.dtype == np.int32 and g.flags["C_CONTIGUOUS"]
+        ptrs[i] = g.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    buf = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(
+        1, dtype=np.uint8
+    )
+    err = lib.jt_progressive_scan(
+        _ptr(buf, ctypes.c_uint8), ctypes.c_long(len(data)),
+        ctypes.c_int(kind), ctypes.c_int(ss), ctypes.c_int(se),
+        ctypes.c_int(al),
+        ctypes.c_long(n_units), ctypes.c_long(restart_interval),
+        ctypes.c_long(mcu_cols), ctypes.c_int(ncomp),
+        _ptr(comp_v, ctypes.c_int32), _ptr(comp_h, ctypes.c_int32),
+        _ptr(comp_gw, ctypes.c_int32), _ptr(comp_bw, ctypes.c_int32),
+        ptrs,
+        _ptr(codes, ctypes.c_uint32), _ptr(lens, ctypes.c_uint8),
+        ctypes.c_int(nthreads),
+    )
+    if err != 0:
+        from jpeg_tpu.entropy.decode_np import ScanDecodeError
+
+        raise ScanDecodeError(f"native progressive scan failed ({err})")
 
 
 def index_scan(

@@ -165,10 +165,15 @@ def _ac_refine_segment(br, blocks, lut, ss, se, al, eobrun):
     return eobrun
 
 
-def decode_progressive(info) -> list[np.ndarray]:
+def decode_progressive(info, backend: str = "auto") -> list[np.ndarray]:
     """All scans -> per-component (gh*gw, 64) int32 zig-zag grids in plane
     raster order, padded to the interleaved MCU geometry (same contract the
-    sequential multi-scan decoder feeds the finishing program)."""
+    sequential multi-scan decoder feeds the finishing program).
+
+    backend: "native" (C++ scan walker, threaded across restart segments),
+    "numpy" (pure-Python BitReader), or "auto" (native when available). The
+    two are bit-identical on every grid.
+    """
     from jpeg_tpu.io import jfif
     from jpeg_tpu.models import layout
 
@@ -178,6 +183,13 @@ def decode_progressive(info) -> list[np.ndarray]:
     mcu_rows = layout.ceil_div(info.height, 8 * vmax)
     mcu_cols = layout.ceil_div(info.width, 8 * hmax)
     by_id = {c.comp_id: (i, c) for i, c in enumerate(comps)}
+
+    from jpeg_tpu.entropy import native
+
+    if backend == "auto":
+        backend = "native" if native.available() else "numpy"
+    elif backend == "native" and not native.available():
+        raise RuntimeError("native entropy runtime unavailable")
 
     grids = []
     dims = []  # (bh, bw) of each component's own block raster
@@ -190,24 +202,58 @@ def decode_progressive(info) -> list[np.ndarray]:
         dims.append((bh, bw))
 
     for scan in info.scans:
-        luts = {
-            k: decode_np.make_decode_lut(t) for k, t in scan.htables.items()
-        }
         ss, se, ah, al = scan.ss, scan.se, scan.ah, scan.al
         if ss == 0 and se != 0:
             raise jfif.JpegFormatError(
                 "progressive scan mixes DC and AC bands"
             )
+        if ss != 0 and len(scan.comp_ids) != 1:
+            raise jfif.JpegFormatError("interleaved progressive AC scan")
 
+        if backend == "native":
+            _native_scan(scan, grids, dims, by_id, mcu_rows, mcu_cols)
+            continue
+
+        luts = {
+            k: decode_np.make_decode_lut(t) for k, t in scan.htables.items()
+        }
         if ss == 0:
             _decode_dc_scan(info, scan, luts, grids, dims, by_id,
                             mcu_rows, mcu_cols, ah, al)
         else:
-            if len(scan.comp_ids) != 1:
-                raise jfif.JpegFormatError("interleaved progressive AC scan")
             _decode_ac_scan(scan, luts, grids, dims, by_id, ss, se, ah, al)
 
     return [g.reshape(-1, 64) for g in grids]
+
+
+def _native_scan(scan, grids, dims, by_id, mcu_rows, mcu_cols):
+    """Dispatch one scan to the C++ walker (native.progressive_scan)."""
+    from jpeg_tpu.entropy import native
+
+    ss, se, ah, al = scan.ss, scan.se, scan.ah, scan.al
+    interleaved = ss == 0 and len(scan.comp_ids) > 1
+    comp_geom, scan_grids, tables = [], [], []
+    for cid, dc_id, ac_id in scan.comp_ids:
+        ci, c = by_id[cid]
+        bh, bw = dims[ci]
+        gw = grids[ci].shape[1]
+        comp_geom.append((c.v, c.h, gw, bw))
+        scan_grids.append(grids[ci])
+        if ss == 0:
+            tables.append(scan.htables[(0, dc_id)] if ah == 0 else None)
+        else:
+            tables.append(scan.htables[(1, ac_id)])
+    if interleaved:
+        n_units = mcu_rows * mcu_cols
+    else:
+        ci, _c = by_id[scan.comp_ids[0][0]]
+        bh, bw = dims[ci]
+        n_units = bh * bw
+    kind = (0 if ah == 0 else 1) if ss == 0 else (2 if ah == 0 else 3)
+    native.progressive_scan(
+        scan.data, kind, ss, se, al, n_units,
+        scan.restart_interval or 0, mcu_cols, comp_geom, scan_grids, tables,
+    )
 
 
 def _mcu_blocks_interleaved(scan, grids, dims, by_id, mcu_rows, mcu_cols,

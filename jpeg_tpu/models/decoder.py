@@ -115,6 +115,17 @@ def _jit_finish_gray(shape):
     return jax.jit(functools.partial(_finish_gray, shape=shape))
 
 
+def _progressive_backend(entropy: str) -> str:
+    """Map decode()'s entropy selector onto the progressive scan walkers.
+    Progressive has host backends only (numpy / native C++); the device
+    selectors fall back to the best host one."""
+    if entropy == "numpy":
+        return "numpy"
+    if entropy == "native":
+        return "native"
+    return "auto"
+
+
 def _decode_scan(info: jfif.FrameInfo, n_mcu: int, mcu_layout: list,
                  entropy: str = "auto"):
     """Entropy-decode the scan with the selected backend.
@@ -245,7 +256,9 @@ def decode(data: bytes, fancy_upsample: bool = True,
         mcu_cols = layout.ceil_div(info.width, 8)
         n_mcu = mcu_rows * mcu_cols
         if info.progressive:
-            scan_blocks = progressive_np.decode_progressive(info)[0]
+            scan_blocks = progressive_np.decode_progressive(
+                info, backend=_progressive_backend(entropy)
+            )[0]
         else:
             mcu_layout = [(0, 1, comps[0].dc_id, comps[0].ac_id)]
             scan_blocks = _decode_scan(info, n_mcu, mcu_layout, entropy)[0]
@@ -270,7 +283,9 @@ def decode(data: bytes, fancy_upsample: bool = True,
         raise jfif.JpegFormatError("more than 10 blocks per MCU (spec B.2.3)")
 
     if info.progressive:
-        zz = progressive_np.decode_progressive(info)
+        zz = progressive_np.decode_progressive(
+            info, backend=_progressive_backend(entropy)
+        )
     elif len(info.scans) <= 1 and len(info.scans[0].comp_ids) == 3:
         mcu_layout = [
             (i, c.h * c.v, c.dc_id, c.ac_id) for i, c in enumerate(comps)

@@ -211,6 +211,24 @@ struct BitReader {
     if (v < (1u << (size - 1))) return (int32_t)v - (1 << size) + 1;
     return (int32_t)v;
   }
+
+  // Raw MSB-first bits (no EXTEND) — progressive EOB-run extension bits.
+  inline uint32_t read_raw(int n) {
+    if (n == 0) return 0;
+    fill();
+    uint32_t v = (uint32_t)((acc >> (nbits - n)) & ((1u << n) - 1));
+    nbits -= n;
+    used += n;
+    return v;
+  }
+
+  inline int read_bit() {
+    fill();
+    int b = (int)((acc >> (nbits - 1)) & 1);
+    --nbits;
+    ++used;
+    return b;
+  }
 };
 
 struct DecodeLut {
@@ -498,6 +516,255 @@ long jt_index_scan(const uint8_t* data, long dlen, long mcu_count,
   return dst;
 }
 
+// ---------------------------------------------------------------------------
+// Progressive (SOF2) scan decoding — native twin of entropy/progressive_np.py
+// (ITU-T T.81 Annex G decode side; the reference has no decoder at all).
+// One call decodes one scan into the caller's per-component zig-zag grids;
+// restart segments are independent (DC predictors and the EOB run reset at
+// RSTn, F.2.1.3.1) and are decoded on worker threads.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Per-scan-component geometry into its (gh, gw, 64) int32 coefficient grid.
+struct ProgComp {
+  int32_t* grid;
+  int v, h, gw, bw;
+};
+
+// Enumerates the coefficient rows of one restart segment in scan order:
+// interleaved MCU order (DC scans over >1 component) or the single
+// component's own block raster order.
+struct BlockIter {
+  const ProgComp* comps;
+  int ncomp;
+  long mcu_cols;
+  bool interleaved;
+  // state
+  long u, end;  // unit cursor (MCUs or blocks)
+  int ci = 0, a = 0, b = 0;
+
+  BlockIter(const ProgComp* c, int n, long cols, bool il, long first, long cnt)
+      : comps(c), ncomp(n), mcu_cols(cols), interleaved(il),
+        u(first), end(first + cnt) {}
+
+  // Returns the next block's coefficients (and its component index via *ci_out),
+  // or nullptr when the segment is exhausted.
+  int32_t* next(int* ci_out) {
+    if (u >= end) return nullptr;
+    if (!interleaved) {
+      const ProgComp& c = comps[0];
+      int32_t* p = c.grid + ((u / c.bw) * c.gw + (u % c.bw)) * 64;
+      *ci_out = 0;
+      ++u;
+      return p;
+    }
+    const ProgComp& c = comps[ci];
+    long i = u / mcu_cols, j = u % mcu_cols;
+    int32_t* p = c.grid + (((i * c.v + a) * c.gw) + (j * c.h + b)) * 64;
+    *ci_out = ci;
+    if (++b == c.h) {
+      b = 0;
+      if (++a == c.v) {
+        a = 0;
+        if (++ci == ncomp) { ci = 0; ++u; }
+      }
+    }
+    return p;
+  }
+};
+
+int prog_dc_first_seg(BitReader& r, BlockIter it, const DecodeLut* luts,
+                      int al) {
+  int32_t preds[4] = {0, 0, 0, 0};
+  const int32_t scale = 1 << al;
+  int ci;
+  while (int32_t* coef = it.next(&ci)) {
+    uint32_t w = r.peek16();
+    int size = luts[ci].sym[w];
+    if (size < 0) return -2;
+    r.drop(luts[ci].len[w]);
+    preds[ci] += r.read_amp(size);
+    coef[0] = preds[ci] * scale;
+  }
+  return 0;
+}
+
+int prog_dc_refine_seg(BitReader& r, BlockIter it, int al) {
+  const int32_t p1 = 1 << al;
+  int ci;
+  while (int32_t* coef = it.next(&ci)) {
+    if (r.read_bit()) coef[0] |= p1;
+  }
+  return 0;
+}
+
+int prog_ac_first_seg(BitReader& r, BlockIter it, const DecodeLut& lut,
+                      int ss, int se, int al) {
+  long eobrun = 0;
+  const int32_t scale = 1 << al;
+  int ci;
+  while (int32_t* coef = it.next(&ci)) {
+    if (eobrun > 0) { --eobrun; continue; }
+    int k = ss;
+    while (k <= se) {
+      uint32_t w = r.peek16();
+      int sym = lut.sym[w];
+      if (sym < 0) return -3;
+      r.drop(lut.len[w]);
+      int run = sym >> 4, s = sym & 15;
+      if (s == 0) {
+        if (run != 15) {
+          eobrun = (1L << run) - 1;
+          if (run) eobrun += r.read_raw(run);
+          break;
+        }
+        k += 16;  // ZRL
+      } else {
+        k += run;
+        if (k > se) return -4;
+        int32_t v = (int32_t)r.read_raw(s);
+        if (v < (1 << (s - 1))) v += -(1 << s) + 1;  // EXTEND (F.2.2.1)
+        coef[k] = v * scale;
+        ++k;
+      }
+    }
+  }
+  return 0;
+}
+
+int prog_ac_refine_seg(BitReader& r, BlockIter it, const DecodeLut& lut,
+                       int ss, int se, int al) {
+  const int32_t p1 = 1 << al;
+  const int32_t m1 = -(1 << al);
+  long eobrun = 0;
+  int ci;
+  while (int32_t* coef = it.next(&ci)) {
+    int k = ss;
+    if (eobrun == 0) {
+      while (k <= se) {
+        uint32_t w = r.peek16();
+        int sym = lut.sym[w];
+        if (sym < 0) return -3;
+        r.drop(lut.len[w]);
+        int run = sym >> 4, s = sym & 15;
+        int32_t val = 0;
+        if (s) {
+          // s is 1 by spec; the new coefficient's sign bit.
+          val = r.read_bit() ? p1 : m1;
+        } else if (run != 15) {
+          eobrun = 1L << run;
+          if (run) eobrun += r.read_raw(run);
+          break;  // EOB run includes this block: handled below
+        }
+        // Advance over `run` zero-history coefficients, emitting correction
+        // bits for every nonzero-history one passed.
+        while (k <= se) {
+          if (coef[k] != 0) {
+            if (r.read_bit() && !(coef[k] & p1))
+              coef[k] += coef[k] >= 0 ? p1 : m1;
+          } else {
+            if (run == 0) break;
+            --run;
+          }
+          ++k;
+        }
+        if (val) {
+          if (k > se) return -4;
+          coef[k] = val;
+        }
+        ++k;
+      }
+    }
+    if (eobrun > 0) {
+      // Remaining band positions: correction bits for nonzero history.
+      while (k <= se) {
+        if (coef[k] != 0 && r.read_bit() && !(coef[k] & p1))
+          coef[k] += coef[k] >= 0 ? p1 : m1;
+        ++k;
+      }
+      --eobrun;
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+// Decode one progressive scan. kind: 0 = DC first, 1 = DC refine,
+// 2 = AC first, 3 = AC refine. data includes RSTn markers. n_units counts
+// MCUs for interleaved DC scans, blocks otherwise. comp_* arrays and `grids`
+// are per scan component (AC scans: exactly 1); codes/lens are (ncomp, 256)
+// stacked Huffman tables (DC tables for kind 0, the AC table for kinds 2/3;
+// ignored for kind 1). Returns 0 or a negative error code.
+long jt_progressive_scan(const uint8_t* data, long dlen, int kind,
+                         int ss, int se, int al,
+                         long n_units, long restart_interval, long mcu_cols,
+                         int ncomp, const int32_t* comp_v,
+                         const int32_t* comp_h, const int32_t* comp_gw,
+                         const int32_t* comp_bw, int32_t** grids,
+                         const uint32_t* codes, const uint8_t* lens,
+                         int nthreads) {
+  if (ncomp < 1 || ncomp > 4) return -7;
+  ProgComp comps[4];
+  for (int c = 0; c < ncomp; ++c)
+    comps[c] = ProgComp{grids[c], comp_v[c], comp_h[c], comp_gw[c],
+                        comp_bw[c]};
+  std::vector<DecodeLut> luts(kind == 1 ? 0 : ncomp);
+  for (int c = 0; c < (int)luts.size(); ++c)
+    luts[c].build(codes + c * 256, lens + c * 256);
+  const bool interleaved = ncomp > 1;
+
+  // Split on RST markers (same framing as jt_decode_scan).
+  struct Seg { long off, len, first, n; };
+  std::vector<Seg> segs;
+  long r = restart_interval > 0 ? restart_interval : n_units;
+  long start = 0, u0 = 0;
+  for (long i = 0; i + 1 < dlen; ++i) {
+    if (data[i] == 0xFF && data[i + 1] >= 0xD0 && data[i + 1] <= 0xD7) {
+      long n = r < n_units - u0 ? r : n_units - u0;
+      segs.push_back({start, i - start, u0, n});
+      u0 += n;
+      start = i + 2;
+      ++i;
+    }
+  }
+  segs.push_back({start, dlen - start, u0, n_units - u0});
+  if ((long)segs.size() != (n_units + r - 1) / r) return -6;
+
+  std::atomic<long> next{0};
+  std::atomic<int> err{0};
+  int nt = nthreads > 0 ? nthreads : (int)std::thread::hardware_concurrency();
+  if (nt > (int)segs.size()) nt = (int)segs.size();
+  if (nt < 1) nt = 1;
+  auto worker = [&]() {
+    for (;;) {
+      long s = next.fetch_add(1);
+      if (s >= (long)segs.size() || err.load(std::memory_order_relaxed))
+        return;
+      const Seg& g = segs[s];
+      if (g.n <= 0) continue;
+      BitReader br{data + g.off, g.len};
+      BlockIter it(comps, ncomp, mcu_cols, interleaved, g.first, g.n);
+      int e;
+      switch (kind) {
+        case 0: e = prog_dc_first_seg(br, it, luts.data(), al); break;
+        case 1: e = prog_dc_refine_seg(br, it, al); break;
+        case 2: e = prog_ac_first_seg(br, it, luts[0], ss, se, al); break;
+        case 3: e = prog_ac_refine_seg(br, it, luts[0], ss, se, al); break;
+        default: e = -7;
+      }
+      if (!e && br.used > g.len * 8) e = -5;  // ran past the segment's bits
+      if (e) err.store(e);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int i = 1; i < nt; ++i) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  return err.load();
+}
+
 // Symbol frequency counting for Annex-K.2 optimized tables: the native twin
 // of encode_np.count_frequencies / ops/symbols.py. hists: 4x256 int64
 // [dc_tbl0, ac_tbl0, dc_tbl1, ac_tbl1], zero-initialized by caller.
@@ -521,6 +788,6 @@ void jt_count_symbols(const int32_t* blocks, const uint8_t* tbl, long nblocks,
   }
 }
 
-int jt_version() { return 3; }
+int jt_version() { return 4; }
 
 }  // extern "C"

@@ -57,6 +57,57 @@ def test_progressive_odd_sizes(rng, shape):
     assert psnr(ours, pil) > 37.0, psnr(ours, pil)
 
 
+@pytest.mark.parametrize("sub", [0, 2])
+def test_native_backend_bit_identical(tiger, sub):
+    """The C++ scan walker and the Python BitReader produce identical grids
+    on every scan kind of libjpeg's standard progressive script."""
+    from jpeg_tpu.entropy import native, progressive_np
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    jpg = _pil_progressive(tiger, quality=80, subsampling=sub)
+    info = jfif.parse_jpeg(jpg)
+    g_nat = progressive_np.decode_progressive(info, backend="native")
+    g_np = progressive_np.decode_progressive(info, backend="numpy")
+    for a, b in zip(g_nat, g_np):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_backend_restart_markers(tiger):
+    """Progressive stream with RSTn in every scan: segment split, predictor
+    and EOB-run resets, threaded segment decode — still bit-identical and
+    PIL-exact."""
+    from jpeg_tpu.entropy import native, progressive_np
+
+    buf = io.BytesIO()
+    Image.fromarray(tiger).save(
+        buf, "JPEG", progressive=True, quality=80, restart_marker_rows=1
+    )
+    jpg = buf.getvalue()
+    info = jfif.parse_jpeg(jpg)
+    assert any(s.restart_interval for s in info.scans)
+    if native.available():
+        g_nat = progressive_np.decode_progressive(info, backend="native")
+        g_np = progressive_np.decode_progressive(info, backend="numpy")
+        for a, b in zip(g_nat, g_np):
+            np.testing.assert_array_equal(a, b)
+    ours = decode(jpg)
+    pil = np.asarray(Image.open(io.BytesIO(jpg)).convert("RGB"))
+    assert psnr(ours, pil) > 45.0
+
+
+def test_progressive_grayscale_native_identity(tiger):
+    from jpeg_tpu.entropy import native, progressive_np
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    jpg = _pil_progressive(tiger[..., 0], quality=70)
+    info = jfif.parse_jpeg(jpg)
+    g_nat = progressive_np.decode_progressive(info, backend="native")
+    g_np = progressive_np.decode_progressive(info, backend="numpy")
+    np.testing.assert_array_equal(g_nat[0], g_np[0])
+
+
 def test_progressive_truncated_raises(tiger):
     jpg = _pil_progressive(tiger, quality=75)
     for cut in (len(jpg) // 3, 2 * len(jpg) // 3):
