@@ -219,8 +219,10 @@ def encode_scan(
     restart_interval: int = 0,
     blocks_per_mcu: int = 1,
     records: SymbolRecords | None = None,
+    rst_base: int = 0,
 ) -> bytes:
-    """Pack an interleaved scan (see build_records for argument layout)."""
+    """Pack an interleaved scan (see build_records for argument layout).
+    rst_base offsets the modulo-8 RSTn indices (streaming multi-call scans)."""
     nblocks = np.asarray(blocks).shape[0]
     if nblocks == 0:
         return b""
@@ -240,5 +242,5 @@ def encode_scan(
         lo, hi = boundaries[s], boundaries[s + 1]
         parts.append(_stuff_bytes(_pack_bits(bits[lo:hi], nbits[lo:hi])).tobytes())
         if s != nseg - 1:
-            parts.append(bytes([0xFF, 0xD0 + (s & 7)]))
+            parts.append(bytes([0xFF, 0xD0 + ((rst_base + s) & 7)]))
     return b"".join(parts)

@@ -59,7 +59,7 @@ def _load():
         lib.jt_progressive_scan.restype = ctypes.c_long
         lib.jt_count_symbols.restype = None
         lib.jt_version.restype = ctypes.c_int
-        if lib.jt_version() != 4:
+        if lib.jt_version() != 5:
             return None
         _lib = lib
         return _lib
@@ -92,8 +92,10 @@ def encode_scan(
     restart_interval: int = 0,
     blocks_per_mcu: int = 1,
     nthreads: int = 0,
+    rst_base: int = 0,
 ) -> bytes:
-    """Native twin of encode_np.encode_scan (same contract)."""
+    """Native twin of encode_np.encode_scan (same contract). rst_base offsets
+    the modulo-8 RSTn indices for streaming multi-call scans."""
     lib = _load()
     assert lib is not None
     blocks = np.ascontiguousarray(blocks, dtype=np.int32)
@@ -110,7 +112,7 @@ def encode_scan(
         ctypes.c_long(nblocks),
         _ptr(dc_code, ctypes.c_uint32), _ptr(dc_len, ctypes.c_uint8),
         _ptr(ac_code, ctypes.c_uint32), _ptr(ac_len, ctypes.c_uint8),
-        ctypes.c_long(restart_blocks),
+        ctypes.c_long(restart_blocks), ctypes.c_long(rst_base),
         _ptr(out, ctypes.c_uint8), ctypes.c_long(cap), ctypes.c_int(nthreads),
     )
     if n < 0:

@@ -108,6 +108,26 @@ def write_jpeg(
     qtables: id -> (8, 8) raster-order table; stored zig-zagged per spec.
     htables: (is_ac, id) -> HuffTable.
     """
+    return (
+        write_header(width, height, components, qtables, htables,
+                     restart_interval, comment)
+        + scan_data
+        + struct.pack(">BB", 0xFF, EOI)
+    )
+
+
+def write_header(
+    width: int,
+    height: int,
+    components: list,
+    qtables: dict,
+    htables: dict,
+    restart_interval: int = 0,
+    comment: str | None = None,
+) -> bytes:
+    """Everything up to and including SOS — the streaming half of write_jpeg:
+    callers append entropy-coded scan chunks and a final EOI themselves
+    (parallel/mosaic.py encode_mosaic_stream)."""
     out = [struct.pack(">BB", 0xFF, SOI)]
     # APP0 / JFIF 1.01, no thumbnail, 72 dpi.
     out.append(_seg(APP0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 1, 72, 72, 0, 0)))
@@ -140,8 +160,6 @@ def write_jpeg(
         sos += struct.pack(">BB", c.comp_id, (c.dc_id << 4) | c.ac_id)
     sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al for sequential DCT
     out.append(_seg(SOS, sos))
-    out.append(scan_data)
-    out.append(struct.pack(">BB", 0xFF, EOI))
     return b"".join(out)
 
 

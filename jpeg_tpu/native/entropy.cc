@@ -98,12 +98,14 @@ extern "C" {
 
 // Pack a full scan: restart_blocks = blocks per restart segment (0 = one
 // segment, no markers). Segments are packed on worker threads and stitched
-// with RSTn markers. Returns bytes written, or -1 on buffer overflow.
+// with RSTn markers. rst_base offsets the modulo-8 RSTn indices so a caller
+// can stream stripes of one scan through multiple calls (streaming mosaic).
+// Returns bytes written, or -1 on buffer overflow.
 long jt_encode_scan(const int32_t* blocks, const uint8_t* tbl, long nblocks,
                     const uint32_t* dc_code, const uint8_t* dc_len,
                     const uint32_t* ac_code, const uint8_t* ac_len,
-                    long restart_blocks, uint8_t* out, long out_cap,
-                    int nthreads) {
+                    long restart_blocks, long rst_base, uint8_t* out,
+                    long out_cap, int nthreads) {
   if (nblocks == 0) return 0;
   if (restart_blocks <= 0 || restart_blocks >= nblocks) {
     BitWriter w{out, out_cap};
@@ -153,7 +155,7 @@ long jt_encode_scan(const int32_t* blocks, const uint8_t* tbl, long nblocks,
     pos += lens[s];
     if (s != nseg - 1) {
       out[pos++] = 0xFF;
-      out[pos++] = 0xD0 + (s & 7);
+      out[pos++] = 0xD0 + ((rst_base + s) & 7);
     }
   }
   return pos;
@@ -788,6 +790,6 @@ void jt_count_symbols(const int32_t* blocks, const uint8_t* tbl, long nblocks,
   }
 }
 
-int jt_version() { return 4; }
+int jt_version() { return 5; }
 
 }  // extern "C"

@@ -75,6 +75,32 @@ def main():
     print("\nrel flops ~ 1/N confirms weak-scaling of per-shard work; on a real"
           "\npod slice the same programs run one shard per chip over ICI.")
 
+    # ----- streaming gigapixel mosaic (BASELINE config 5 at contract scale) --
+    if os.environ.get("JPEG_TPU_SCALING_GIGA", "1") != "0":
+        import resource
+
+        from jpeg_tpu.parallel.mosaic import encode_mosaic_stream
+
+        gh, gw = 32768, 16384  # 0.537 GPix ~ 16x 4K tile area, raw ~1.6 GB
+
+        def source(r0, r1):
+            yy = np.arange(r0, r1, dtype=np.uint32)[:, None]
+            xx = np.arange(gw, dtype=np.uint32)[None, :]
+            z = np.zeros((r1 - r0, gw), np.uint32)
+            return np.stack([(xx * 255 // gw + z).astype(np.uint8),
+                             (yy * 255 // gh + z).astype(np.uint8),
+                             ((xx + yy) * 127 // (gh + gw)).astype(np.uint8)],
+                            -1)
+
+        t0 = time.time()
+        n = len(encode_mosaic_stream(source, gh, gw, quality=75))
+        dt = time.time() - t0
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        print(f"\nstreaming mosaic {gh}x{gw} ({gh*gw/1e6:.0f} MPix): "
+              f"{dt:.1f}s = {gh*gw/1e6/dt:.1f} MPix/s, {n} bytes out, "
+              f"peak RSS {rss:.2f} GB (raw image would be "
+              f"{gh*gw*3/1e9:.2f} GB)")
+
 
 if __name__ == "__main__":
     main()
