@@ -62,6 +62,11 @@ def main(argv=None) -> int:
     mos.add_argument("--devices", "-d", type=int, default=None,
                      help="number of devices to stripe over (default: all)")
     mos.add_argument("--optimize-tables", action="store_true")
+    mos.add_argument("--stream", action="store_true",
+                     help="stream stripes from disk (bounded memory; for "
+                          "inputs too large to materialize)")
+    mos.add_argument("--stripe-rows", type=int, default=None,
+                     help="rows per streamed stripe (default ~32 MB)")
 
     args = ap.parse_args(argv)
 
@@ -130,7 +135,25 @@ def main(argv=None) -> int:
 
     if args.cmd == "mosaic":
         from jpeg_tpu.parallel.mesh import make_mesh
-        from jpeg_tpu.parallel.mosaic import encode_mosaic
+        from jpeg_tpu.parallel.mosaic import encode_mosaic, encode_mosaic_stream
+
+        if args.stream:
+            t0 = time.time()
+            with bmp.BmpRowReader(args.input) as src, \
+                    open(args.output, "wb") as f:
+                nbytes_mp = src.height * src.width / 1e6
+                encode_mosaic_stream(
+                    src.rows, src.height, src.width, quality=args.quality,
+                    subsampling=args.subsampling,
+                    stripe_rows=args.stripe_rows,
+                    optimize_tables=args.optimize_tables, out=f,
+                )
+            dt = time.time() - t0
+            import os as _os
+            print(f"{args.input} ({nbytes_mp:.1f} MPix) -> {args.output}: "
+                  f"{_os.path.getsize(args.output)} bytes streamed, "
+                  f"{dt*1e3:.0f} ms")
+            return 0
 
         img = bmp.read_bmp(args.input)
         mesh = make_mesh(args.devices, batch_axis=1)

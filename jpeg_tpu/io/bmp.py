@@ -63,6 +63,67 @@ def read_bmp(path: str) -> np.ndarray:
         return decode_bmp(f.read())
 
 
+class BmpRowReader:
+    """Seekable row-range reader for BMPs too large to materialize — the
+    on-disk source for the streaming mosaic encoder
+    (parallel/mosaic.encode_mosaic_stream). Same format coverage as
+    decode_bmp (24/32-bit, bottom-up or top-down, padded rows); rows() takes
+    image (top-down) coordinates regardless of the file's row order.
+
+    The reference reads its whole BMP twice into per-channel heap arrays
+    (src/bitmap.c:102-152); this reads exactly the rows a stripe needs, once.
+    """
+
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+        head = self._f.read(54)
+        if len(head) < 54 or head[0:2] != b"BM":
+            self._f.close()
+            raise BmpError("bad magic (expected 'BM')")
+        self._pixel_offset = struct.unpack_from("<I", head, 10)[0]
+        header_size = struct.unpack_from("<I", head, 14)[0]
+        width, height = struct.unpack_from("<ii", head, 18)
+        planes, bpp = struct.unpack_from("<HH", head, 26)
+        compression = struct.unpack_from("<I", head, 30)[0]
+        if (header_size < 40 or planes != 1 or compression not in (0, 3)
+                or bpp not in (24, 32) or width <= 0 or height == 0):
+            self._f.close()
+            raise BmpError("unsupported BMP for row streaming")
+        self.width = width
+        self.height = abs(height)
+        self._top_down = height < 0
+        self._channels = bpp // 8
+        self._stride = (width * self._channels + 3) & ~3
+
+    def rows(self, r0: int, r1: int) -> np.ndarray:
+        """Image rows [r0, r1) as (r1-r0, width, 3) uint8 RGB."""
+        if not 0 <= r0 < r1 <= self.height:
+            raise ValueError(f"row range [{r0}, {r1}) outside 0..{self.height}")
+        n = r1 - r0
+        # File row index of image row i: i (top-down) or height-1-i (bottom-up).
+        file_first = r0 if self._top_down else self.height - r1
+        self._f.seek(self._pixel_offset + file_first * self._stride)
+        raw = self._f.read(n * self._stride)
+        if len(raw) < n * self._stride:
+            raise BmpError("truncated pixel data")
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(n, self._stride)
+        px = a[:, : self.width * self._channels].reshape(
+            n, self.width, self._channels
+        )
+        if not self._top_down:
+            px = px[::-1]
+        return np.ascontiguousarray(px[..., [2, 1, 0]])
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def encode_bmp(rgb: np.ndarray) -> bytes:
     """(H, W, 3) uint8 RGB -> 24-bit bottom-up BMP bytes (BITMAPINFOHEADER)."""
     rgb = np.asarray(rgb, dtype=np.uint8)

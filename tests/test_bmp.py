@@ -51,3 +51,49 @@ def test_errors():
         bmp.decode_bmp(b"NOTABMP" * 20)
     with pytest.raises(bmp.BmpError):
         bmp.decode_bmp(b"BM" + b"\x00" * 100)  # zero dims / bad header
+
+
+def test_row_reader_matches_decode_bmp(rng, tmp_path):
+    """BmpRowReader row ranges must equal slices of the full decode for
+    bottom-up files, odd widths (padded rows) and arbitrary ranges."""
+    rgb = rng.integers(0, 256, size=(23, 13, 3)).astype(np.uint8)
+    path = tmp_path / "a.bmp"
+    bmp.write_bmp(str(path), rgb)
+    full = bmp.read_bmp(str(path))
+    with bmp.BmpRowReader(str(path)) as r:
+        assert (r.height, r.width) == (23, 13)
+        for a, b in [(0, 23), (0, 1), (22, 23), (5, 17)]:
+            np.testing.assert_array_equal(r.rows(a, b), full[a:b])
+        with pytest.raises(ValueError):
+            r.rows(5, 30)
+
+
+def test_row_reader_top_down(rng, tmp_path):
+    import struct
+
+    rgb = rng.integers(0, 256, size=(6, 4, 3)).astype(np.uint8)
+    data = bytearray(bmp.encode_bmp(rgb[::-1]))
+    struct.pack_into("<i", data, 22, -6)
+    path = tmp_path / "td.bmp"
+    path.write_bytes(bytes(data))
+    full = bmp.read_bmp(str(path))
+    with bmp.BmpRowReader(str(path)) as r:
+        np.testing.assert_array_equal(r.rows(1, 4), full[1:4])
+
+
+def test_row_reader_streams_mosaic(rng, tmp_path):
+    """End-to-end: BMP on disk -> streamed single-JFIF, identical bytes to
+    the in-memory whole-image mosaic path."""
+    from jpeg_tpu import encode
+    from jpeg_tpu.parallel.mosaic import encode_mosaic_stream
+
+    rgb = rng.integers(0, 256, size=(70, 40, 3)).astype(np.uint8)
+    path = tmp_path / "m.bmp"
+    bmp.write_bmp(str(path), rgb)
+    with bmp.BmpRowReader(str(path)) as r:
+        got = encode_mosaic_stream(r.rows, r.height, r.width, quality=80,
+                                   stripe_rows=32)
+    mcu_cols = -(-40 // 16)
+    ref = encode(rgb, quality=80, subsampling="420",
+                 restart_interval=mcu_cols)
+    assert got == ref
