@@ -52,17 +52,50 @@ def _amp_bits(v, size):
     return amp.astype(jnp.uint32) & ((jnp.uint32(1) << size.astype(jnp.uint32)) - 1)
 
 
+def _onehot_lookup(flat, table_cols, width):
+    """Small-table Huffman lookup as a one-hot MXU dot: flat (B, n) int32
+    indices, table_cols (width, 3) f32 [code_hi, code_lo, len] -> (code
+    uint32, len int32).
+
+    A plain `table[tbl, sym]` gather costs ~273 ms for the 4K block array on a
+    v5e (TPU gathers from small tables serialize); the one-hot dot runs the
+    same lookup on the MXU in a few ms. DEFAULT matmul precision is exact
+    here: one-hot entries are 0/1 and every table column is <= 255 (bf16
+    represents integers to 256), hence the hi/lo byte split of the codes."""
+    oh = jax.nn.one_hot(flat, width, dtype=jnp.float32)
+    res = jax.lax.dot_general(
+        oh, table_cols, (((flat.ndim,), (0,)), ((), ()))
+    )
+    code = (res[..., 0].astype(jnp.int32) << 8) | res[..., 1].astype(jnp.int32)
+    return code.astype(jnp.uint32), res[..., 2].astype(jnp.int32)
+
+
+def _split_cols(code, length):
+    """(k,) uint32 codes + int lens -> (k, 3) f32 [hi, lo, len] columns."""
+    return jnp.stack(
+        [
+            (code >> 8).astype(jnp.float32),
+            (code & 255).astype(jnp.float32),
+            length.astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+
 def build_bitfields(blocks, tbl, dc_code, dc_len, ac_code, ac_len):
     """(B, 64) int32 zig-zag blocks (DC = DPCM diff), (B,) table ids ->
     (bits (B, 191) uint32, nbits (B, 191) int32) in emission order."""
     blocks = blocks.astype(jnp.int32)
     tbl = tbl.astype(jnp.int32)
 
-    # DC
+    # DC: sizes are 0..15, so a 32-wide one-hot (tbl*16 + size) suffices.
     dc = blocks[:, 0]
     dsize = symbols.bit_size(dc)
-    dbits = (dc_code[tbl, dsize] << dsize.astype(jnp.uint32)) | _amp_bits(dc, dsize)
-    dnbits = dc_len[tbl, dsize] + dsize
+    dc_tab = _split_cols(dc_code[:, :16].reshape(32),
+                         dc_len[:, :16].reshape(32))
+    dcode, dlen = _onehot_lookup(tbl * 16 + dsize, dc_tab, 32)
+    dbits = (dcode << dsize.astype(jnp.uint32)) | _amp_bits(dc, dsize)
+    dnbits = dlen + dsize
 
     # AC
     nz, run, last_nz = symbols.ac_run_lengths(blocks)
@@ -71,16 +104,19 @@ def build_bitfields(blocks, tbl, dc_code, dc_len, ac_code, ac_len):
     v = blocks[:, 1:]
     size = jnp.where(nz, symbols.bit_size(v), 0)
     sym = ((run & 15) << 4) | size
-    code = ac_code[tbl[:, None], sym]
-    clen = jnp.where(nz, ac_len[tbl[:, None], sym], 0)
+    ac_tab = _split_cols(ac_code.reshape(512), ac_len.reshape(512))
+    code, aclen = _onehot_lookup(tbl[:, None] * 256 + sym, ac_tab, 512)
+    clen = jnp.where(nz, aclen, 0)
     cbits = jnp.where(
         nz, (code << size.astype(jnp.uint32)) | _amp_bits(v, size), 0
     )
     cn = clen + size
 
-    # ZRL channels
-    zc = ac_code[tbl, 0xF0][:, None]
-    zl = ac_len[tbl, 0xF0][:, None]
+    # ZRL / EOB codes: two possible values each (one per table id) — selects,
+    # not gathers.
+    is1 = tbl[:, None] == 1
+    zc = jnp.where(is1, ac_code[1, 0xF0], ac_code[0, 0xF0])
+    zl = jnp.where(is1, ac_len[1, 0xF0], ac_len[0, 0xF0])
     kz = jnp.where(nz, run >> 4, 0)  # 0..3
     pair = (zc << zl.astype(jnp.uint32)) | zc
     n0 = jnp.minimum(kz, 2) * zl
@@ -90,8 +126,9 @@ def build_bitfields(blocks, tbl, dc_code, dc_len, ac_code, ac_len):
 
     # EOB
     eob = last_nz < 63
-    ebits = jnp.where(eob, ac_code[tbl, 0], 0)
-    enbits = jnp.where(eob, ac_len[tbl, 0], 0)
+    e1 = tbl == 1
+    ebits = jnp.where(eob, jnp.where(e1, ac_code[1, 0], ac_code[0, 0]), 0)
+    enbits = jnp.where(eob, jnp.where(e1, ac_len[1, 0], ac_len[0, 0]), 0)
 
     ac_bits = jnp.stack([b0, b1, cbits], axis=-1).reshape(blocks.shape[0], 189)
     ac_nbits = jnp.stack([n0, n1, cn], axis=-1).reshape(blocks.shape[0], 189)

@@ -60,10 +60,14 @@ def _cumsum_lanes(x):
         jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
         >= jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
     ).astype(jnp.float32)
+    # HIGHEST: default MXU precision is bf16 passes — exact only to 2^8, and
+    # these prefix sums reach 2^11. (Interpret-mode tests run f32 either way;
+    # only the hardware path would silently corrupt.)
     out = jax.lax.dot_general(
         x.astype(jnp.float32), tri,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.astype(jnp.int32)
 
@@ -97,16 +101,20 @@ def _kernel(blocks_ref, tbl_ref, codes_ref, lens_ref, buf_ref, total_ref,
     # Huffman lookups as one-hot MXU dots against the merged (1024,) tables:
     # flat symbol index = class_base + tbl*256 + symbol.
     def lut(flat_sym):  # (tile, n) int32 -> (code i32, len i32)
+        # HIGHEST: codes span 16 bits; default bf16 MXU passes are exact only
+        # to 2^8 and would silently corrupt codes on hardware.
         oh = jax.nn.one_hot(flat_sym, 1024, dtype=jnp.float32)  # (tile, n, 1024)
         c = jax.lax.dot_general(
             oh, codes[:, 0],
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         l = jax.lax.dot_general(
             oh, lens[:, 0],
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return c.astype(jnp.int32), l.astype(jnp.int32)
 
