@@ -120,6 +120,31 @@ def child(platform: str) -> None:
     enc_rate = mpix / enc_s
     log(f"encode (best of 4 epochs): {enc_s*1e3:.1f} ms -> {enc_rate:.1f} MPix/s")
 
+    # Sustained (pipelined) throughput: dispatch K device programs back to
+    # back, then drain; per-dispatch tunnel latency (~22 ms here) overlaps,
+    # which is what a serving deployment sees. Host finalize runs after the
+    # fetches (it is ~10 ms/image of pure CPU).
+    pipe_rate = None
+    if use_device_pack:
+        try:
+            K = 8
+            t0 = time.time()
+            outs = [fn(dev_img, qy, qc, *luts, *geom) for _ in range(K)]
+            jpgs = []
+            for words, totals, ok in outs:
+                t = int(np.asarray(totals)[0])
+                w_host = np.asarray(words[0, : (t + 31) // 32])
+                scan = bitpack.finalize_segment(w_host, t).tobytes()
+                jpgs.append(jfif.write_jpeg(w, h, comps, {0: qy_np, 1: qc_np},
+                                            htables, scan))
+            pipe_s = (time.time() - t0) / K
+            pipe_rate = mpix / pipe_s
+            assert jpgs[0] == jpg
+            log(f"encode (pipelined x{K}): {pipe_s*1e3:.1f} ms/img -> "
+                f"{pipe_rate:.1f} MPix/s")
+        except Exception as e:
+            log(f"pipelined encode failed: {e}")
+
     # --- stage breakdown (VERDICT r1 item 10: quantify the tunnel tax) -----
     stages = {}
     try:
@@ -204,6 +229,8 @@ def child(platform: str) -> None:
         "encode_stages": stages,
         "decode_stages": dec_stages,
     }
+    if pipe_rate is not None:
+        result["encode_pipelined_mpix_s"] = round(pipe_rate, 2)
     if dec_resident_rate is not None:
         result["decode_mpix_s"] = round(dec_resident_rate, 2)
     if dec_rate is not None:

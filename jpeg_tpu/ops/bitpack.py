@@ -220,11 +220,19 @@ def pack_bits(bits, nbits, nwords: int):
         s2c > 0, buf_prev << jnp.clip(32 - s2c, 0, 31).astype(jnp.uint32), 0
     )  # (B, BLOCK_WORDS+2)
 
-    idx = base[:, None] + jnp.arange(BLOCK_WORDS + 2, dtype=jnp.int32)[None, :]
-    words = jnp.zeros(nwords, jnp.uint32)
-    words = words.at[idx.reshape(-1)].add(
-        contrib.reshape(-1), indices_are_sorted=False, mode="drop"
-    )
+    # Scatter-add, decomposed by word-lane k: base is non-decreasing, so
+    # base+k is a SORTED index vector for each k — 12 sorted segment-sums
+    # lower to scan-style reductions instead of one big unsorted scatter.
+    # Disjoint bit fields cannot carry, so int32 adds equal the uint32 OR.
+    words = jnp.zeros(nwords, jnp.int32)
+    ncols = contrib.shape[1]
+    for k in range(ncols):
+        idx = jnp.minimum(base + k, nwords - 1)
+        words = words + jax.ops.segment_sum(
+            jax.lax.bitcast_convert_type(contrib[:, k], jnp.int32),
+            idx, num_segments=nwords, indices_are_sorted=True,
+        )
+    words = jax.lax.bitcast_convert_type(words, jnp.uint32)
 
     ok = (jnp.max(t_b) <= BLOCK_WORDS * 32) & (total <= nwords * 32)
     return words, total, ok
