@@ -101,7 +101,9 @@ GIGAPIXEL_SCRIPT = textwrap.dedent("""
 
     t0 = time.time()
     with open(sys.argv[1], "wb") as f:
-        encode_mosaic_stream(source, H, W, quality=75, out=f)
+        # 336 rows = ~16 MB stripes: keeps nominal RSS ~0.7 GB so even 2x
+        # allocator noise under full-suite load stays far below the bound.
+        encode_mosaic_stream(source, H, W, quality=75, stripe_rows=336, out=f)
     info = jfif.parse_jpeg(open(sys.argv[1], "rb").read())
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(json.dumps({
