@@ -102,15 +102,19 @@ def write_jpeg(
     scan_data: bytes,
     restart_interval: int = 0,
     comment: str | None = None,
+    adobe_transform: int | None = None,
 ) -> bytes:
     """Assemble a baseline JFIF stream.
 
     qtables: id -> (8, 8) raster-order table; stored zig-zagged per spec.
     htables: (is_ac, id) -> HuffTable.
+    adobe_transform: emit an Adobe APP14 marker with this transform byte
+    (0 = untransformed, 1 = YCbCr, 2 = YCCK — needed for 4-component
+    CMYK/YCCK streams, which decoders key off the marker).
     """
     return (
         write_header(width, height, components, qtables, htables,
-                     restart_interval, comment)
+                     restart_interval, comment, adobe_transform)
         + scan_data
         + struct.pack(">BB", 0xFF, EOI)
     )
@@ -124,6 +128,7 @@ def write_header(
     htables: dict,
     restart_interval: int = 0,
     comment: str | None = None,
+    adobe_transform: int | None = None,
 ) -> bytes:
     """Everything up to and including SOS — the streaming half of write_jpeg:
     callers append entropy-coded scan chunks and a final EOI themselves
@@ -131,6 +136,9 @@ def write_header(
     out = [struct.pack(">BB", 0xFF, SOI)]
     # APP0 / JFIF 1.01, no thumbnail, 72 dpi.
     out.append(_seg(APP0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 1, 72, 72, 0, 0)))
+    if adobe_transform is not None:
+        out.append(_seg(APP14, b"Adobe" + struct.pack(
+            ">HHHB", 0x64, 0, 0, adobe_transform)))
     if comment:
         out.append(_seg(COM, comment.encode("utf-8")))
 

@@ -8,11 +8,12 @@ the encoder stages defining the inverse contracts:
   jitted program [de-zigzag, dequantize, IDCT, level unshift, chroma upsample,
   YCbCr->RGB, clip/round] -> crop to the declared frame size.
 
-Sequential (SOF0/SOF1) and progressive (SOF2) Huffman modes, 8-bit, 1 or 3
-components, arbitrary per-component sampling factors 1-4 with integer
-upsampling ratios (covers 4:4:4/4:2:2/4:2:0/4:1:1/4:4:0 and mixed layouts),
-interleaved or non-interleaved multi-scan, RGB-space (Adobe APP14) streams —
-everything our encoder emits plus the common libjpeg output formats.
+Sequential (SOF0/SOF1) and progressive (SOF2) Huffman modes, 8-bit, 1, 3 or
+4 components (gray / YCbCr / RGB / Adobe CMYK+YCCK), arbitrary per-component
+sampling factors 1-4 with integer upsampling ratios (covers
+4:4:4/4:2:2/4:2:0/4:1:1/4:4:0 and mixed layouts), interleaved or
+non-interleaved multi-scan — everything our encoder emits plus the common
+libjpeg output formats.
 """
 
 from __future__ import annotations
@@ -83,6 +84,47 @@ def _finish_color(y_zz, cb_zz, cr_zz, qy, qcb, qcr, shapes, factors,
 def _finish_gray(zz, qy, shape):
     plane = _reconstruct_plane(zz, qy, shape)
     return jnp.clip(jnp.round(plane), 0, 255).astype(jnp.uint8)
+
+
+def _finish_cmyk(zz1, zz2, zz3, zz4, q1, q2, q3, q4, shapes, factors,
+                 fancy, ycck: bool, invert: bool):
+    """Four-component (Adobe CMYK / YCCK) finishing program.
+
+    ycck: components 1-3 are YCbCr-coded (APP14 transform=2) — run the
+    inverse color matrix, then complement into stored-CMY space (libjpeg
+    jdcolor.c ycck_cmyk_convert). invert: an Adobe APP14 marker is present,
+    so match PIL's convention of returning the complement of the stored
+    samples (JpegImagePlugin rawmode "CMYK;I")."""
+    planes = []
+    for zz, q, shape, (fh, fv), fan in zip(
+        (zz1, zz2, zz3, zz4), (q1, q2, q3, q4), shapes, factors, fancy
+    ):
+        p = _reconstruct_plane(zz, q, shape)
+        if fh > 1 or fv > 1:
+            up = (
+                subsample.fancy_upsample_factors
+                if fan else subsample.upsample_factors
+            )
+            p = up(p, fv, fh)
+        planes.append(p)
+    if ycck:
+        rgb = color.ycbcr_to_rgb(jnp.stack(planes[:3], axis=-1), clip=True)
+        stored = jnp.stack(
+            [255.0 - rgb[..., 0], 255.0 - rgb[..., 1], 255.0 - rgb[..., 2],
+             planes[3]], axis=-1,
+        )
+    else:
+        stored = jnp.stack(planes, axis=-1)
+    out = 255.0 - stored if invert else stored
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
+@functools.cache
+def _jit_finish_cmyk(shapes, factors, fancy, ycck, invert):
+    return jax.jit(
+        functools.partial(_finish_cmyk, shapes=shapes, factors=factors,
+                          fancy=fancy, ycck=ycck, invert=invert)
+    )
 
 
 def upsample_choices(width: int, components, hmax: int,
@@ -267,7 +309,7 @@ def decode(data: bytes, fancy_upsample: bool = True,
         out = out[: info.height, : info.width]
         return out if device_output else np.asarray(out)
 
-    if len(comps) != 3:
+    if len(comps) not in (3, 4):
         raise jfif.JpegFormatError(f"unsupported component count {len(comps)}")
     for c in comps:
         if not (1 <= c.h <= 4 and 1 <= c.v <= 4):
@@ -286,7 +328,7 @@ def decode(data: bytes, fancy_upsample: bool = True,
         zz = progressive_np.decode_progressive(
             info, backend=_progressive_backend(entropy)
         )
-    elif len(info.scans) <= 1 and len(info.scans[0].comp_ids) == 3:
+    elif len(info.scans) <= 1 and len(info.scans[0].comp_ids) == len(comps):
         mcu_layout = [
             (i, c.h * c.v, c.dc_id, c.ac_id) for i, c in enumerate(comps)
         ]
@@ -303,13 +345,25 @@ def decode(data: bytes, fancy_upsample: bool = True,
     shapes = tuple((mcu_rows * c.v, mcu_cols * c.h) for c in comps)
     factors = tuple((hmax // c.h, vmax // c.v) for c in comps)
     qtabs = [jnp.asarray(info.qtables[c.qtab_id]) for c in comps]
+    fancy = upsample_choices(info.width, comps, hmax, fancy_upsample)
+
+    if len(comps) == 4:
+        # Adobe CMYK (transform 0/absent) or YCCK (transform 2); returns
+        # (H, W, 4) samples matching PIL's CMYK mode (complemented when the
+        # Adobe APP14 marker is present — PIL rawmode "CMYK;I").
+        out = _jit_finish_cmyk(
+            shapes, factors, fancy, info.adobe_transform == 2,
+            info.adobe_transform is not None,
+        )(*(jnp.asarray(z) for z in zz), *qtabs)
+        out = out[: info.height, : info.width]
+        return out if device_output else np.asarray(out)
+
     # Components stored as RGB (no color transform): Adobe APP14 with
     # transform=0, or literal 'R','G','B' component ids (libjpeg convention).
     is_rgb = info.adobe_transform == 0 or (
         info.adobe_transform is None
         and tuple(c.comp_id for c in comps) == (0x52, 0x47, 0x42)
     )
-    fancy = upsample_choices(info.width, comps, hmax, fancy_upsample)
     out = _jit_finish_color(shapes, factors, fancy,
                             bool(use_pallas), is_rgb)(
         *(jnp.asarray(z) for z in zz), *qtabs
