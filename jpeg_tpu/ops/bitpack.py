@@ -227,10 +227,15 @@ def pack_bits(bits, nbits, nwords: int):
     words = jnp.zeros(nwords, jnp.int32)
     ncols = contrib.shape[1]
     for k in range(ncols):
-        idx = jnp.minimum(base + k, nwords - 1)
+        raw = base + k
+        # Drop out-of-range contributions (overflow streams set ok=False and
+        # are repacked on the host, but the words must stay bit-identical to
+        # the scatter mode="drop" semantics the tests pin).
+        val = jnp.where(raw < nwords, contrib[:, k], jnp.uint32(0))
         words = words + jax.ops.segment_sum(
-            jax.lax.bitcast_convert_type(contrib[:, k], jnp.int32),
-            idx, num_segments=nwords, indices_are_sorted=True,
+            jax.lax.bitcast_convert_type(val, jnp.int32),
+            jnp.minimum(raw, nwords - 1),
+            num_segments=nwords, indices_are_sorted=True,
         )
     words = jax.lax.bitcast_convert_type(words, jnp.uint32)
 

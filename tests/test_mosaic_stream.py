@@ -84,11 +84,24 @@ def test_stream_validates_arguments(rng):
 
 
 GIGAPIXEL_SCRIPT = textwrap.dedent("""
-    import json, resource, sys, time
+    import json, sys, time
+
+    def rss():
+        # NOT ru_maxrss: on Linux it is inherited across fork and survives
+        # execve, so a subprocess spawned by a fat pytest parent reports the
+        # PARENT's high-water (observed: "1.8 GB" before a byte of work).
+        # VmHWM belongs to this process's own mm and resets on exec.
+        for line in open("/proc/self/status"):
+            if line.startswith("VmHWM"):
+                return int(line.split()[1]) / 1e6  # kB -> GB
+        raise RuntimeError("no VmHWM")
+
     import numpy as np
     import jax; jax.config.update("jax_platforms", "cpu")
     from jpeg_tpu.io import jfif
     from jpeg_tpu.parallel.mosaic import encode_mosaic_stream
+
+    checkpoints = {"imports": rss(), "devices": len(jax.devices())}
 
     H, W = 32768, 16384  # 0.537 GPix = 16x (4K tile area), raw ~1.6 GB
     def source(r0, r1):
@@ -99,16 +112,25 @@ GIGAPIXEL_SCRIPT = textwrap.dedent("""
                          (yy * 255 // H + z).astype(np.uint8),
                          ((xx + yy) * 127 // (H + W)).astype(np.uint8)], -1)
 
+    nstripes = [0]
+
+    def src_logged(r0, r1):
+        nstripes[0] += 1
+        if nstripes[0] in (1, 2, 8):
+            checkpoints[f"stripe{nstripes[0]}"] = rss()
+        return source(r0, r1)
+
     t0 = time.time()
     with open(sys.argv[1], "wb") as f:
         # 336 rows = ~16 MB stripes: keeps nominal RSS ~0.7 GB so even 2x
         # allocator noise under full-suite load stays far below the bound.
-        encode_mosaic_stream(source, H, W, quality=75, stripe_rows=336, out=f)
+        encode_mosaic_stream(src_logged, H, W, quality=75, stripe_rows=336,
+                             out=f)
     info = jfif.parse_jpeg(open(sys.argv[1], "rb").read())
-    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(json.dumps({
-        "mpix": H * W / 1e6, "s": time.time() - t0, "rss_gb": rss_gb,
+        "mpix": H * W / 1e6, "s": time.time() - t0, "rss_gb": rss(),
         "w": info.width, "h": info.height, "dri": info.restart_interval,
+        "checkpoints": checkpoints,
     }))
 """)
 
@@ -138,7 +160,7 @@ def test_gigapixel_stream_bounded_rss(tmp_path):
     assert stats["dri"] > 0, stats
     # Raw pixels alone are 1.61 GB; staying under 1.45 proves streaming
     # (measured ~1.1 GB; headroom for allocator noise under suite load).
-    assert stats["rss_gb"] < 1.45, f"peak RSS {stats['rss_gb']:.2f} GB"
+    assert stats["rss_gb"] < 1.45, f"peak RSS {stats['rss_gb']:.2f} GB: {stats}"
 
     old_max = Image.MAX_IMAGE_PIXELS
     Image.MAX_IMAGE_PIXELS = None  # 537 MPix > PIL's decompression-bomb gate
