@@ -112,6 +112,10 @@ def main(argv=None) -> int:
         dt = time.time() - t0
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)
+        elif img.shape[-1] == 4:  # Adobe CMYK/YCCK stream
+            from jpeg_tpu.ops import color as _color
+
+            img = _color.cmyk_to_rgb(img)
         bmp.write_bmp(args.output, img)
         print(f"{args.input} -> {args.output}: {img.shape[1]}x{img.shape[0]}, "
               f"{dt*1e3:.1f} ms")

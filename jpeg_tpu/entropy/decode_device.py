@@ -168,13 +168,21 @@ def _jit_segments(layout_key: tuple, max_mcu: int, nbytes: int):
 # ---------------------------------------------------------------------------
 
 
-def _decode_ac_indexed(words, off, dc, slot, sym_luts, len_luts):
+def _decode_ac_indexed(words, off, dc, slot, packed_luts):
     """words: (W,) uint32 big-endian destuffed scan; off: (B,) post-DC bit
-    offsets; dc: (B,) absolute DC; slot: (B,) AC LUT row. -> (B, 64) int32
+    offsets; dc: (B,) absolute DC; slot: (B,) AC LUT row; packed_luts:
+    (nslots, 65536) int32 with (len << 16) | (sym & 0xFFFF) per 16-bit peek
+    window — ONE gather resolves both fields (TPU gathers serialize, so the
+    loop's gather count is the decode's critical path). -> (B, 64) int32
     zig-zag blocks."""
     B = off.shape[0]
     rows0 = jnp.zeros((B, 64), jnp.int32).at[:, 0].set(dc)
     kcol = jnp.arange(64, dtype=jnp.int32)[None, :]
+    # Adjacent word pairs, so the loop fetches both window words with a
+    # single row gather instead of two scalar gathers.
+    pairs = jnp.stack(
+        [words, jnp.concatenate([words[1:], words[:1]])], axis=1
+    )
 
     def cond(st):
         k = st[0]
@@ -182,16 +190,17 @@ def _decode_ac_indexed(words, off, dc, slot, sym_luts, len_luts):
 
     def body(st):
         k, pos, rows = st
-        wi = pos >> 5
-        w0 = words[wi]
-        w1 = words[wi + 1]
+        wp = pairs[pos >> 5]
+        w0, w1 = wp[:, 0], wp[:, 1]
         sh = (pos & 31).astype(jnp.uint32)
         win = jnp.where(
             sh == 0, w0, (w0 << sh) | (w1 >> ((jnp.uint32(32) - sh) & 31))
         )
         top = (win >> 16).astype(jnp.int32)
-        sym = jnp.maximum(sym_luts[slot, top], 0)
-        ln = len_luts[slot, top]
+        packed = packed_luts[slot, top]
+        # Sign-extend the low half: invalid windows carry sym = -1.
+        sym = jnp.maximum((packed << 16) >> 16, 0)
+        ln = packed >> 16
         run, size = sym >> 4, sym & 15
         # code + amplitude both fit the 32-bit window (16 + 10 <= 32).
         shift = (32 - ln - size).astype(jnp.uint32)
@@ -228,6 +237,8 @@ _SLOT_CACHE: dict = {}
 
 
 def _cached_ac_luts(lut_key, htables, ac_slots):
+    """(len << 16) | (sym & 0xFFFF) packed per window — one device-resident
+    gather table (0.5 MB per table set) instead of separate sym/len tables."""
     hit = _AC_LUT_CACHE.get(lut_key)
     if hit is not None:
         return hit
@@ -238,7 +249,7 @@ def _cached_ac_luts(lut_key, htables, ac_slots):
         assigned = s >= 0
         sym[i][assigned] = s[assigned]
         ln[i][assigned] = l[assigned]
-    out = (jnp.asarray(sym), jnp.asarray(ln))
+    out = jnp.asarray((ln << 16) | (sym & 0xFFFF))
     if len(_AC_LUT_CACHE) >= 16:
         _AC_LUT_CACHE.clear()
     _AC_LUT_CACHE[lut_key] = out
@@ -281,7 +292,7 @@ def decode_scan_indexed(
         (key, htables[key].size.tobytes(), htables[key].code.tobytes())
         for key in ac_slots
     )
-    sym_dev, ln_dev = _cached_ac_luts(lut_key, htables, tuple(ac_slots))
+    packed_dev = _cached_ac_luts(lut_key, htables, tuple(ac_slots))
     slot_dev = _cached_slot_array(
         tuple((bpm, slot_of[(1, ac)]) for (_, bpm, _, ac) in mcu_layout),
         mcu_count,
@@ -295,7 +306,7 @@ def decode_scan_indexed(
 
     rows = _indexed_jit(
         jnp.asarray(words), jnp.asarray(ac_off), jnp.asarray(dc),
-        slot_dev, sym_dev, ln_dev,
+        slot_dev, packed_dev,
     )
     out, base = [], 0
     for (_comp, bpm, _, _) in mcu_layout:

@@ -52,6 +52,21 @@ def rgb_to_ycbcr(rgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(x, m, precision=_PRECISION) + jnp.asarray(YCBCR_OFFSET)
 
 
+def cmyk_to_rgb(cmyk) -> np.ndarray:
+    """(..., 4) uint8 CMYK (PIL-mode samples, as decode() returns for Adobe
+    4-component streams) -> (..., 3) uint8 RGB, bit-exact with PIL's
+    Image.convert("RGB"): channel = round((255-C) * (255-K) / 255).
+
+    Host-side NumPy: this runs on decoded pixels (CLI output paths), not in
+    the jitted pipeline."""
+    a = np.asarray(cmyk).astype(np.int32)
+    if a.shape[-1] != 4:
+        raise ValueError(f"expected (..., 4) CMYK, got {a.shape}")
+    inv = 255 - a
+    rgb = (inv[..., :3] * inv[..., 3:4] + 127) // 255
+    return rgb.astype(np.uint8)
+
+
 def ycbcr_to_rgb(ycc: jnp.ndarray, clip: bool = True) -> jnp.ndarray:
     """(..., 3) YCbCr in [0,255] -> (..., 3) float32 RGB, optionally clipped."""
     x = ycc.astype(jnp.float32) - jnp.asarray(YCBCR_OFFSET)

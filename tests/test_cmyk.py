@@ -112,3 +112,40 @@ def test_cmyk_entropy_backends_identical(rng):
     ref = decode(jpg, entropy="numpy")
     for backend in ("native", "device"):
         np.testing.assert_array_equal(decode(jpg, entropy=backend), ref)
+
+
+def test_cmyk_to_rgb_matches_pil(rng):
+    from jpeg_tpu.ops.color import cmyk_to_rgb
+
+    a = rng.integers(0, 256, (37, 21, 4)).astype(np.uint8)
+    ours = cmyk_to_rgb(a)
+    pil = np.asarray(Image.fromarray(a, "CMYK").convert("RGB"))
+    np.testing.assert_array_equal(ours, pil)
+    with pytest.raises(ValueError):
+        cmyk_to_rgb(a[..., :3])
+
+
+def test_cli_decode_cmyk_to_bmp(rng, tmp_path):
+    import subprocess
+    import sys
+
+    a = rng.integers(0, 256, (24, 40, 4)).astype(np.uint8)
+    jpg_path = tmp_path / "c.jpg"
+    jpg_path.write_bytes(_pil_cmyk(a, quality=95))
+    out = tmp_path / "c.bmp"
+    import os
+
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    p = subprocess.run(
+        [sys.executable, "-m", "jpeg_tpu", "decode", str(jpg_path), str(out)],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert p.returncode == 0, p.stderr[-1500:]
+    from jpeg_tpu.io import bmp as bmp_io
+
+    got = bmp_io.read_bmp(str(out))
+    pil = np.asarray(Image.open(io.BytesIO(jpg_path.read_bytes())).convert("RGB"))
+    assert got.shape == pil.shape
+    assert psnr(got, pil) > 50.0
