@@ -34,4 +34,55 @@ for trial in range(30):
         native.decode_scan(data, 50, [(0, 1, 0, 0)], huff, int(rng.integers(0, 5)))
     except ValueError:
         pass
-print("ASAN native fuzz: OK")
+
+# ---- progressive (SOF2) walker: differential + corruption under ASan ------
+import io
+from PIL import Image
+from jpeg_tpu.io import jfif
+from jpeg_tpu.entropy import progressive_np
+
+yy, xx = np.mgrid[0:64, 0:80]
+img = np.clip(
+    np.stack([xx * 3, yy * 3, (xx + yy) * 2], -1)
+    + rng.integers(-20, 21, (64, 80, 3)),
+    0, 255,
+).astype(np.uint8)
+streams = []
+for q, sub in [(30, 2), (75, 2), (95, 0)]:
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", progressive=True, quality=q,
+                              subsampling=sub)
+    streams.append(buf.getvalue())
+buf = io.BytesIO()
+Image.fromarray(img).save(buf, "JPEG", progressive=True, quality=80,
+                          restart_marker_rows=1)
+streams.append(buf.getvalue())
+for jpg in streams:
+    info = jfif.parse_jpeg(jpg)
+    g_nat = progressive_np.decode_progressive(info, backend="native")
+    g_np = progressive_np.decode_progressive(info, backend="numpy")
+    for a, b in zip(g_nat, g_np):
+        np.testing.assert_array_equal(a, b)
+
+# Mutated / truncated progressive scans: error or clean return, never a
+# memory fault (ASan would abort the process).
+base = streams[1]
+for trial in range(60):
+    b = bytearray(base)
+    kind = trial % 3
+    if kind == 0:  # flip random bytes in the tail (scan data region)
+        for _ in range(int(rng.integers(1, 8))):
+            i = int(rng.integers(len(b) // 2, len(b)))
+            b[i] = int(rng.integers(0, 256))
+    elif kind == 1:  # truncate
+        b = b[: int(rng.integers(len(b) // 3, len(b)))]
+    else:  # splice random garbage into the middle
+        i = int(rng.integers(len(b) // 2, len(b)))
+        b[i : i + 16] = rng.integers(0, 256, 16).astype(np.uint8).tobytes()
+    try:
+        info = jfif.parse_jpeg(bytes(b))
+        if info.progressive:
+            progressive_np.decode_progressive(info, backend="native")
+    except (ValueError, jfif.JpegFormatError):
+        pass
+print("ASAN native fuzz: OK (incl. progressive)")
