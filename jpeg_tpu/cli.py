@@ -43,8 +43,12 @@ def main(argv=None) -> int:
     dec.add_argument("input")
     dec.add_argument("output")
     dec.add_argument("--entropy", default="auto",
-                     choices=["auto", "native", "numpy", "device"],
+                     choices=["auto", "native", "numpy", "device", "indexed"],
                      help="Huffman scan decode backend (all bit-identical)")
+    dec.add_argument("--scale-denom", type=int, default=1,
+                     choices=[1, 2, 4, 8],
+                     help="DCT-domain scaled decode (libjpeg draft mode): "
+                          "output is ceil(H/d) x ceil(W/d)")
 
     rt = sub.add_parser("roundtrip", help="encode+decode, report PSNR/bpp")
     rt.add_argument("input")
@@ -108,7 +112,8 @@ def main(argv=None) -> int:
         with open(args.input, "rb") as f:
             data = f.read()
         t0 = time.time()
-        img = decode(data, entropy=args.entropy)
+        img = decode(data, entropy=args.entropy,
+                     scale_denom=args.scale_denom)
         dt = time.time() - t0
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)

@@ -30,8 +30,12 @@ from jpeg_tpu.models import layout
 from jpeg_tpu.ops import color, dct, quant, subsample, tile, zigzag
 
 
-def _reconstruct_plane(zz, qtab, blocks_shape, use_pallas: bool = False):
-    """(N, 64) zig-zag quantized blocks -> (H, W) float plane (level-unshifted).
+def _reconstruct_plane(zz, qtab, blocks_shape, use_pallas: bool = False,
+                       k: int = 8):
+    """(N, 64) zig-zag quantized blocks -> (H*k/8, W*k/8) float plane
+    (level-unshifted). k < 8 runs the DCT-domain scaled IDCT (libjpeg
+    "draft"/jidctred semantics — dct.idct_scaled_basis): each 8x8 block
+    reconstructs as k x k pixels from its lowest k x k frequencies.
 
     The output is range-limited to [0, 255] *before* any upsampling/color
     math, matching libjpeg's post-IDCT range_limit table: at extreme
@@ -40,7 +44,16 @@ def _reconstruct_plane(zz, qtab, blocks_shape, use_pallas: bool = False):
     upsample (discovered by the q=1 4:2:0 fuzz case)."""
     hb, wb = blocks_shape
     blocks = zigzag.from_zigzag(zz.reshape(hb, wb, 64))
-    if use_pallas:
+    if k != 8:
+        coeff = quant.dequantize(blocks, qtab)
+        b = jnp.asarray(dct.idct_scaled_basis(k))
+        small = jnp.einsum(
+            "yu,abuv,xv->abyx", b, coeff, b,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        plane = small.transpose(0, 2, 1, 3).reshape(hb * k, wb * k) + 128.0
+    elif use_pallas:
         from jpeg_tpu.ops import fused
 
         interp = jax.default_backend() == "cpu"
@@ -55,7 +68,7 @@ def _reconstruct_plane(zz, qtab, blocks_shape, use_pallas: bool = False):
 
 def _finish_color(y_zz, cb_zz, cr_zz, qy, qcb, qcr, shapes, factors,
                   fancy=(True, True, True), use_pallas: bool = False,
-                  is_rgb: bool = False):
+                  is_rgb: bool = False, k: int = 8):
     """shapes: per-component block grids (hb, wb); factors: per-component
     (fh, fv) upsampling ratios to the max-sampled grid (spec A.1.1 — any
     component may be subsampled relative to the others, not just chroma).
@@ -68,7 +81,7 @@ def _finish_color(y_zz, cb_zz, cr_zz, qy, qcb, qcr, shapes, factors,
     for zz, q, shape, (fh, fv), fan in zip(
         (y_zz, cb_zz, cr_zz), (qy, qcb, qcr), shapes, factors, fancy
     ):
-        p = _reconstruct_plane(zz, q, shape, use_pallas)
+        p = _reconstruct_plane(zz, q, shape, use_pallas, k)
         if fh > 1 or fv > 1:
             up = (
                 subsample.fancy_upsample_factors
@@ -81,8 +94,8 @@ def _finish_color(y_zz, cb_zz, cr_zz, qy, qcb, qcr, shapes, factors,
     return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
 
 
-def _finish_gray(zz, qy, shape):
-    plane = _reconstruct_plane(zz, qy, shape)
+def _finish_gray(zz, qy, shape, k: int = 8):
+    plane = _reconstruct_plane(zz, qy, shape, k=k)
     return jnp.clip(jnp.round(plane), 0, 255).astype(jnp.uint8)
 
 
@@ -143,18 +156,19 @@ def upsample_choices(width: int, components, hmax: int,
 
 @functools.cache
 def _jit_finish_color(shapes, factors, fancy=(True, True, True),
-                      use_pallas=False, is_rgb=False):
+                      use_pallas=False, is_rgb=False, k=8):
     if isinstance(fancy, bool):  # convenience: one choice for all components
         fancy = (fancy,) * 3
     return jax.jit(
         functools.partial(_finish_color, shapes=shapes, factors=factors,
-                          fancy=fancy, use_pallas=use_pallas, is_rgb=is_rgb)
+                          fancy=fancy, use_pallas=use_pallas, is_rgb=is_rgb,
+                          k=k)
     )
 
 
 @functools.cache
-def _jit_finish_gray(shape):
-    return jax.jit(functools.partial(_finish_gray, shape=shape))
+def _jit_finish_gray(shape, k=8):
+    return jax.jit(functools.partial(_finish_gray, shape=shape, k=k))
 
 
 def _progressive_backend(entropy: str) -> str:
@@ -259,7 +273,8 @@ def decode(data: bytes, fancy_upsample: bool = True,
            use_pallas: bool = False,
            max_pixels: int | None = 2_000_000_000,
            entropy: str = "auto",
-           device_output: bool = False) -> np.ndarray:
+           device_output: bool = False,
+           scale_denom: int = 1) -> np.ndarray:
     """Decode baseline JPEG bytes to (H, W, 3) RGB or (H, W) gray uint8.
 
     fancy_upsample: triangular chroma interpolation (libjpeg-style) instead of
@@ -276,9 +291,17 @@ def decode(data: bytes, fancy_upsample: bool = True,
     device_output: return the decoded pixels as a device (jax) array instead
     of downloading to host memory — the serving case where the image feeds
     further on-device work (e.g. training-input pipelines).
+    scale_denom: 1, 2, 4 or 8 — DCT-domain scaled decode (libjpeg "draft"
+    mode): each block reconstructs at 8/scale_denom points per axis from its
+    lowest frequencies; output is ceil(H/scale_denom) x ceil(W/scale_denom).
+    The thumbnail-serving path: entropy decode is unchanged but the finishing
+    program and the device->host transfer shrink by scale_denom^2.
     """
     if entropy not in ("auto", "native", "numpy", "device", "indexed"):
         raise ValueError(f"unknown entropy backend {entropy!r}")
+    if scale_denom not in (1, 2, 4, 8):
+        raise ValueError(f"scale_denom must be 1, 2, 4 or 8, got {scale_denom}")
+    k = 8 // scale_denom
     info = jfif.parse_jpeg(data)
     if max_pixels is not None and info.width * info.height > max_pixels:
         raise jfif.JpegFormatError(
@@ -305,8 +328,11 @@ def decode(data: bytes, fancy_upsample: bool = True,
             mcu_layout = [(0, 1, comps[0].dc_id, comps[0].ac_id)]
             scan_blocks = _decode_scan(info, n_mcu, mcu_layout, entropy)[0]
         qy = jnp.asarray(info.qtables[comps[0].qtab_id])
-        out = _jit_finish_gray((mcu_rows, mcu_cols))(jnp.asarray(scan_blocks), qy)
-        out = out[: info.height, : info.width]
+        out = _jit_finish_gray((mcu_rows, mcu_cols), k)(
+            jnp.asarray(scan_blocks), qy
+        )
+        out = out[: layout.ceil_div(info.height, scale_denom),
+                  : layout.ceil_div(info.width, scale_denom)]
         return out if device_output else np.asarray(out)
 
     if len(comps) not in (3, 4):
@@ -351,6 +377,10 @@ def decode(data: bytes, fancy_upsample: bool = True,
         # Adobe CMYK (transform 0/absent) or YCCK (transform 2); returns
         # (H, W, 4) samples matching PIL's CMYK mode (complemented when the
         # Adobe APP14 marker is present — PIL rawmode "CMYK;I").
+        if scale_denom != 1:
+            raise jfif.JpegFormatError(
+                "scaled decode of 4-component streams is not supported"
+            )
         out = _jit_finish_cmyk(
             shapes, factors, fancy, info.adobe_transform == 2,
             info.adobe_transform is not None,
@@ -365,8 +395,9 @@ def decode(data: bytes, fancy_upsample: bool = True,
         and tuple(c.comp_id for c in comps) == (0x52, 0x47, 0x42)
     )
     out = _jit_finish_color(shapes, factors, fancy,
-                            bool(use_pallas), is_rgb)(
+                            bool(use_pallas), is_rgb, k)(
         *(jnp.asarray(z) for z in zz), *qtabs
     )
-    out = out[: info.height, : info.width]
+    out = out[: layout.ceil_div(info.height, scale_denom),
+              : layout.ceil_div(info.width, scale_denom)]
     return out if device_output else np.asarray(out)
