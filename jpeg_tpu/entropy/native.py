@@ -59,7 +59,7 @@ def _load():
         lib.jt_progressive_scan.restype = ctypes.c_long
         lib.jt_count_symbols.restype = None
         lib.jt_version.restype = ctypes.c_int
-        if lib.jt_version() != 5:
+        if lib.jt_version() != 6:
             return None
         _lib = lib
         return _lib
@@ -292,7 +292,10 @@ def index_scan(
 
     data = np.frombuffer(scan, dtype=np.uint8)
     total_blocks = mcu_count * bpm_total
-    destuffed = np.empty(max(len(data), 1), dtype=np.uint8)
+    # +512 zero guard bytes: the native fast cursor reads 8 bytes at a time
+    # and may run ~256 bytes past a corrupt segment's end before the
+    # per-block overrun check fires.
+    destuffed = np.zeros(max(len(data), 1) + 512, dtype=np.uint8)
     ac_off = np.empty(total_blocks, dtype=np.int32)
     dc = np.empty(total_blocks, dtype=np.int32)
     n = lib.jt_index_scan(

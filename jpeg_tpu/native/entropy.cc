@@ -54,6 +54,19 @@ inline int bit_size(int32_t v) {
   return m ? 32 - __builtin_clz(m) : 0;
 }
 
+// Logical (unstuffed) payload bits of a stuffed entropy segment: every
+// 0xFF 0x00 pair carries one payload byte. Decoder overrun checks must bound
+// against this, not the raw byte length, to match the NumPy walkers
+// (BitReader.check() in decode_np/progressive_np).
+inline long unstuffed_bits(const uint8_t* d, long len) {
+  long n = 0;
+  for (long i = 0; i < len; ++i) {
+    ++n;
+    if (d[i] == 0xFF && i + 1 < len && d[i + 1] == 0x00) ++i;
+  }
+  return n * 8;
+}
+
 // Encode one run of blocks into w. blocks: nblocks*64 int32 zig-zag, DC already
 // DPCM-differenced. tbl[b] selects table set 0/1.
 void encode_blocks(const int32_t* blocks, const uint8_t* tbl, long nblocks,
@@ -259,6 +272,7 @@ int decode_segment(const uint8_t* data, long dlen, long first_mcu, long n_mcu,
                    const int* comp_bpm) {
   BitReader r{data, dlen};
   int32_t preds[8] = {0};
+  const long ubits = unstuffed_bits(data, dlen);
 
   for (long m = 0; m < n_mcu; ++m) {
     for (int bi = 0; bi < bpm; ++bi) {
@@ -272,7 +286,10 @@ int decode_segment(const uint8_t* data, long dlen, long first_mcu, long n_mcu,
 
       uint32_t w = r.peek16();
       int size = dl.sym[w];
-      if (size < 0) return -2;
+      // size > 16 would shift read_amp out of range (a hostile DHT can bind
+      // codes to any symbol value); the NumPy walker errors on the same
+      // stream (negative shift in decode_np._decode_segment).
+      if (size < 0 || size > 16) return -2;
       r.drop(dl.len[w]);
       int32_t diff = r.read_amp(size);
       preds[comp] += diff;
@@ -292,7 +309,7 @@ int decode_segment(const uint8_t* data, long dlen, long first_mcu, long n_mcu,
         ++k;
       }
     }
-    if (r.used > dlen * 8) return -5;  // ran past the segment's real bits
+    if (r.used > ubits) return -5;  // ran past the segment's payload bits
   }
   return 0;
 }
@@ -374,19 +391,43 @@ long jt_decode_scan(const uint8_t* data, long dlen, long mcu_count,
 
 namespace {
 
-// Bit cursor over already-destuffed bytes (no marker/stuffing logic).
-struct Cursor {
+// Bit cursor over already-destuffed bytes: one unaligned 64-bit load +
+// byteswap per peek. Requires >= 8 readable bytes past every position it
+// touches — the caller over-allocates the destuffed buffer (guard bytes);
+// mid-buffer over-reads see the next segment's bytes, which is equivalent to
+// zero-fill for valid streams (prefix-complete LUTs resolve a final code from
+// its own bits alone) and still errors for overruns (the per-block position
+// check fires regardless of the bits read).
+struct FastCursor {
   const uint8_t* d;
-  long len;      // bytes
   long bit = 0;  // absolute bit position
 
   inline uint32_t peek16() const {
-    long byte = bit >> 3;
-    uint32_t w = 0;
-    // 3 bytes cover 16 bits at any intra-byte phase; zero-fill past the end.
-    for (int i = 0; i < 3; ++i)
-      w = (w << 8) | (byte + i < len ? d[byte + i] : 0);
-    return (w >> (8 - (bit & 7))) & 0xFFFF;
+    uint64_t w;
+    std::memcpy(&w, d + (bit >> 3), 8);
+    w = __builtin_bswap64(w);
+    return (uint32_t)((w >> (48 - (bit & 7))) & 0xFFFF);
+  }
+};
+
+// Packed one-load-per-symbol LUTs for the index walk (128 KB per table,
+// cache-resident — the separate sym/len int16 arrays of DecodeLut cost two
+// dependent loads per symbol and measured as the decode bottleneck).
+struct IdxLut {
+  // AC: (advance << 8) | sym, advance = code len + amplitude bits skipped.
+  // DC: (code len << 8) | size. 0xFFFF = invalid window.
+  std::vector<uint16_t> ac, dc;
+  void build(const DecodeLut& dcl, const DecodeLut& acl) {
+    ac.assign(1 << 16, 0xFFFF);
+    dc.assign(1 << 16, 0xFFFF);
+    for (int w = 0; w < (1 << 16); ++w) {
+      int s = acl.sym[w];
+      if (s >= 0) ac[w] = (uint16_t)(((acl.len[w] + (s & 15)) << 8) | s);
+      s = dcl.sym[w];
+      // size > 16 would shift the amplitude read out of range (hostile DHT);
+      // map to invalid so the walker errors like the NumPy twin.
+      if (s >= 0 && s <= 16) dc[w] = (uint16_t)((dcl.len[w] << 8) | s);
+    }
   }
 };
 
@@ -394,25 +435,24 @@ int index_segment(const uint8_t* data, long dlen, long bit_base,
                   long first_mcu, long n_mcu, int bpm,
                   const uint8_t* blk_comp, const uint8_t* blk_occ,
                   const uint8_t* blk_tbl,
-                  const DecodeLut* dc_luts, const DecodeLut* ac_luts,
+                  const IdxLut* luts,
                   int32_t* ac_off, int32_t* dc_out,
                   long* comp_base, const int* comp_bpm) {
-  Cursor r{data, dlen};
+  FastCursor r{data};
+  const long end_bit = dlen * 8;
   int32_t preds[8] = {0};
 
   for (long m = 0; m < n_mcu; ++m) {
     for (int bi = 0; bi < bpm; ++bi) {
       int comp = blk_comp[bi];
-      int t = blk_tbl[bi];
-      const DecodeLut& dl = dc_luts[t];
-      const DecodeLut& al = ac_luts[t];
+      const IdxLut& lu = luts[blk_tbl[bi]];
       long block_index =
           comp_base[comp] + (first_mcu + m) * comp_bpm[comp] + blk_occ[bi];
 
-      uint32_t w = r.peek16();
-      int size = dl.sym[w];
-      if (size < 0) return -2;
-      r.bit += dl.len[w];
+      uint32_t e = lu.dc[r.peek16()];
+      if (e == 0xFFFF) return -2;
+      r.bit += e >> 8;
+      int size = e & 0xFF;
       if (size) {
         uint32_t amp = r.peek16() >> (16 - size);
         r.bit += size;
@@ -425,16 +465,16 @@ int index_segment(const uint8_t* data, long dlen, long bit_base,
 
       int k = 1;
       while (k < 64) {
-        w = r.peek16();
-        int sym = al.sym[w];
-        if (sym < 0) return -3;
-        r.bit += al.len[w] + (sym & 15);  // code + amplitude bits, skipped
+        e = lu.ac[r.peek16()];
+        if (e == 0xFFFF) return -3;
+        r.bit += e >> 8;  // code + amplitude bits, skipped together
+        int sym = e & 0xFF;
         if (sym == 0) break;              // EOB
         if (sym == 0xF0) { k += 16; continue; }
         k += (sym >> 4) + 1;
         if (k > 64) return -4;
       }
-      if (r.bit > dlen * 8) return -5;
+      if (r.bit > end_bit) return -5;
     }
   }
   return 0;
@@ -443,7 +483,9 @@ int index_segment(const uint8_t* data, long dlen, long bit_base,
 }  // namespace
 
 // Destuff + index a full scan (same layout contract as jt_decode_scan).
-// destuffed must hold dlen bytes; ac_off/dc_out hold one int32 per block.
+// destuffed must hold dlen bytes PLUS >= 8 guard bytes (the fast cursor
+// does unaligned 64-bit loads; guard past the final segment must be zero).
+// ac_off/dc_out hold one int32 per block.
 // Returns the destuffed byte length, or a negative error code.
 long jt_index_scan(const uint8_t* data, long dlen, long mcu_count,
                    int bpm, const uint8_t* blk_comp, const uint8_t* blk_occ,
@@ -454,9 +496,11 @@ long jt_index_scan(const uint8_t* data, long dlen, long mcu_count,
                    uint8_t* destuffed, int32_t* ac_off, int32_t* dc_out,
                    int nthreads) {
   DecodeLut dc_luts[2], ac_luts[2];
+  IdxLut idx_luts[2];
   for (int t = 0; t < 2; ++t) {
     dc_luts[t].build(dc_code + t * 256, dc_len + t * 256);
     ac_luts[t].build(ac_code + t * 256, ac_len + t * 256);
+    idx_luts[t].build(dc_luts[t], ac_luts[t]);
   }
   std::vector<long> comp_base(ncomp);
   long base = 0;
@@ -505,7 +549,7 @@ long jt_index_scan(const uint8_t* data, long dlen, long mcu_count,
       if (g.n_mcu <= 0) continue;
       int e = index_segment(destuffed + g.dst_off, g.dst_len, g.dst_off * 8,
                             g.first_mcu, g.n_mcu, bpm, blk_comp, blk_occ,
-                            blk_tbl, dc_luts, ac_luts, ac_off, dc_out,
+                            blk_tbl, idx_luts, ac_off, dc_out,
                             comp_base.data(), comp_bpm);
       if (e) err.store(e);
     }
@@ -584,7 +628,9 @@ int prog_dc_first_seg(BitReader& r, BlockIter it, const DecodeLut* luts,
   while (int32_t* coef = it.next(&ci)) {
     uint32_t w = r.peek16();
     int size = luts[ci].sym[w];
-    if (size < 0) return -2;
+    // A hostile DHT can bind codes to symbols > 16; read_amp would then
+    // shift out of range (UB). The NumPy twin raises on the same stream.
+    if (size < 0 || size > 16) return -2;
     r.drop(luts[ci].len[w]);
     preds[ci] += r.read_amp(size);
     coef[0] = preds[ci] * scale;
@@ -756,7 +802,9 @@ long jt_progressive_scan(const uint8_t* data, long dlen, int kind,
         case 3: e = prog_ac_refine_seg(br, it, luts[0], ss, se, al); break;
         default: e = -7;
       }
-      if (!e && br.used > g.len * 8) e = -5;  // ran past the segment's bits
+      // Bound against the unstuffed payload length (not raw bytes): matches
+      // the NumPy walker's BitReader.check() in progressive_np.py.
+      if (!e && br.used > unstuffed_bits(data + g.off, g.len)) e = -5;
       if (e) err.store(e);
     }
   };
@@ -790,6 +838,6 @@ void jt_count_symbols(const int32_t* blocks, const uint8_t* tbl, long nblocks,
   }
 }
 
-int jt_version() { return 5; }
+int jt_version() { return 6; }
 
 }  // extern "C"
