@@ -258,6 +258,24 @@ def _jit_gray_packed(restart_mcus: int):
     )
 
 
+def _transform_gray_hists(plane, qy, *, restart_mcus: int):
+    """Pass 1 of device-packed optimized-table gray encode: [dc, ac] symbol
+    histograms on device (mirrors _transform_color_hists)."""
+    from jpeg_tpu.ops import symbols
+
+    zz = _transform_gray(plane, qy)
+    zz = zz.at[:, 0].set(dpcm_ops.dpcm(zz[:, 0], int(restart_mcus)))
+    dc, ac = symbols.symbol_histogram(zz)
+    return jnp.stack([dc, ac])
+
+
+@functools.cache
+def _jit_gray_hists(restart_mcus: int):
+    return jax.jit(
+        functools.partial(_transform_gray_hists, restart_mcus=restart_mcus)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host assembly
 # ---------------------------------------------------------------------------
@@ -499,9 +517,17 @@ def _encode_gray(image: np.ndarray, cfg: EncodeConfig, comment,
     nblocks = (img.shape[0] // 8) * (img.shape[1] // 8)
     if device_pack is None:
         device_pack = jax.default_backend() != "cpu"
-    if (device_pack and not cfg.optimize_tables
-            and (r0 == 0 or nblocks % r0 == 0)):
-        htables_full = huffman.standard_tables()
+    if device_pack and (r0 == 0 or nblocks % r0 == 0):
+        if cfg.optimize_tables:
+            # Pass 1: device symbol histograms -> per-image optimal tables
+            # (same two-pass flow as the color path at _encode_color).
+            hists = np.asarray(_jit_gray_hists(r0)(img, qy))
+            htables_full = {
+                (0, 0): huffman.optimal_table(hists[0]),
+                (1, 0): huffman.optimal_table(hists[1]),
+            }
+        else:
+            htables_full = huffman.standard_tables()
         luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(htables_full))
         words, totals, ok = _jit_gray_packed(r0)(img, qy, *luts)
         if bool(np.asarray(ok).all()):
