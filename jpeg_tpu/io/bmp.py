@@ -19,6 +19,24 @@ class BmpError(ValueError):
     """Raised for malformed or unsupported BMP files (cf. bitmap.h:14-17)."""
 
 
+# The channel order this reader assumes. BI_BITFIELDS files carry explicit
+# masks (at absolute offset 54 in both the BITMAPINFOHEADER+masks and V4/V5
+# layouts); anything other than these defaults would silently swap channels,
+# so such files are rejected instead.
+_DEFAULT_MASKS = (0x00FF0000, 0x0000FF00, 0x000000FF)  # R, G, B
+
+
+def _check_bitfields_masks(mask_bytes: bytes) -> None:
+    if len(mask_bytes) < 12:
+        raise BmpError("BI_BITFIELDS file truncated before channel masks")
+    masks = struct.unpack_from("<III", mask_bytes, 0)
+    if masks != _DEFAULT_MASKS:
+        raise BmpError(
+            f"unsupported BI_BITFIELDS channel masks {tuple(hex(m) for m in masks)}"
+            " (only the BGR(A) defaults are supported)"
+        )
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
     """Parse a BMP byte buffer into an (H, W, 3) uint8 RGB array."""
     if len(data) < 54:
@@ -34,8 +52,10 @@ def decode_bmp(data: bytes) -> np.ndarray:
     compression = struct.unpack_from("<I", data, 30)[0]
     if planes != 1:
         raise BmpError(f"planes must be 1, got {planes}")
-    if compression not in (0, 3):  # BI_RGB or BI_BITFIELDS (accept default masks)
+    if compression not in (0, 3):  # BI_RGB or BI_BITFIELDS (default masks only)
         raise BmpError(f"unsupported compression {compression}")
+    if compression == 3:
+        _check_bitfields_masks(data[54:66])
     if bpp not in (24, 32):
         raise BmpError(f"unsupported bit depth {bpp} (need 24 or 32)")
     if width <= 0 or height == 0:
@@ -89,6 +109,12 @@ class BmpRowReader:
                 or bpp not in (24, 32) or width <= 0 or height == 0):
             self._f.close()
             raise BmpError("unsupported BMP for row streaming")
+        if compression == 3:
+            try:
+                _check_bitfields_masks(self._f.read(12))
+            except BmpError:
+                self._f.close()
+                raise
         self.width = width
         self.height = abs(height)
         self._top_down = height < 0

@@ -275,7 +275,8 @@ def decode(data: bytes, fancy_upsample: bool = True,
            entropy: str = "auto",
            device_output: bool = False,
            scale_denom: int = 1) -> np.ndarray:
-    """Decode baseline JPEG bytes to (H, W, 3) RGB or (H, W) gray uint8.
+    """Decode JPEG bytes to (H, W, 3) RGB, (H, W) gray, or — for Adobe
+    4-component CMYK/YCCK streams — (H, W, 4) CMYK uint8 samples.
 
     fancy_upsample: triangular chroma interpolation (libjpeg-style) instead of
     pixel doubling — better quality on 4:2:2/4:2:0 streams.

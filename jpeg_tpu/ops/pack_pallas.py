@@ -8,9 +8,14 @@ prefix sums and the one-hot word reduction — inside VMEM, emitting only the
 (B, BLOCK_WORDS) buffers and per-block bit totals. Level 2 (global offsets +
 ~11 scatter updates per block) stays in XLA where it is already cheap.
 
-Status: semantics validated against ops/bitpack in interpret mode (tests);
-Mosaic compilation on real TPU hardware is future-round work, so production
-paths do not call this yet.
+Status: semantics validated against ops/bitpack in interpret mode (tests).
+Real-hardware Mosaic compilation was attempted in round 2 and again in round 3
+and OOM-kills the remote compile helper (SIGKILL) even in isolation — the
+(TILE, 63, 1024) one-hot intermediates blow up Mosaic's compile-time memory
+even at TILE=8 (see docs/DESIGN.md §6 for the measured detail). The round-2
+fix went into the XLA packer instead (one-hot MXU lookups), which production
+paths use; this module stays an opt-in appendix (`use_pallas_pack=True`,
+correct via interpret-mode tests) until a Mosaic release can compile it.
 """
 
 from __future__ import annotations

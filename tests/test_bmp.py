@@ -53,6 +53,42 @@ def test_errors():
         bmp.decode_bmp(b"BM" + b"\x00" * 100)  # zero dims / bad header
 
 
+def _make_bitfields_bmp(rgb, masks, tmp_path=None):
+    """32-bit BI_BITFIELDS file: 40-byte info header + 12 mask bytes."""
+    import struct
+
+    h, w, _ = rgb.shape
+    stride = w * 4
+    bgra = np.zeros((h, w, 4), dtype=np.uint8)
+    bgra[..., :3] = rgb[::-1, :, ::-1]
+    pix = bgra.tobytes()
+    off = 14 + 40 + 12
+    head = struct.pack("<2sIHHI", b"BM", off + len(pix), 0, 0, off)
+    head += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 3, stride * h,
+                        2835, 2835, 0, 0)
+    head += struct.pack("<III", *masks)
+    return head + pix
+
+
+def test_bitfields_default_masks_accepted(rng):
+    rgb = rng.integers(0, 256, size=(5, 7, 3)).astype(np.uint8)
+    data = _make_bitfields_bmp(rgb, (0x00FF0000, 0x0000FF00, 0x000000FF))
+    np.testing.assert_array_equal(bmp.decode_bmp(data), rgb)
+
+
+def test_bitfields_nondefault_masks_rejected(rng, tmp_path):
+    """ADVICE r2: non-BGRA masks must be rejected, not silently channel-swapped
+    — in both decode_bmp and the streaming BmpRowReader."""
+    rgb = rng.integers(0, 256, size=(5, 7, 3)).astype(np.uint8)
+    data = _make_bitfields_bmp(rgb, (0x000000FF, 0x0000FF00, 0x00FF0000))
+    with pytest.raises(bmp.BmpError, match="masks"):
+        bmp.decode_bmp(data)
+    p = tmp_path / "bgr.bmp"
+    p.write_bytes(data)
+    with pytest.raises(bmp.BmpError, match="masks"):
+        bmp.BmpRowReader(str(p))
+
+
 def test_row_reader_matches_decode_bmp(rng, tmp_path):
     """BmpRowReader row ranges must equal slices of the full decode for
     bottom-up files, odd widths (padded rows) and arbitrary ranges."""
