@@ -1,6 +1,6 @@
-"""Benchmark driver: 4K encode at q=75, 4:2:0.
+"""Benchmark driver: 4K encode/decode at q=75, 4:2:0.
 
-Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: the reference's measured 0.20 MPix/s single-core working-pipeline
 rate (BASELINE.md — its DCT alone; it cannot finish an encode at all).
 
@@ -10,10 +10,17 @@ minutes, so the parent tries the TPU child under a timeout and falls back to a
 CPU child — a JSON line is always produced. A persistent XLA compile cache in
 .jax_cache makes warm TPU runs fast.
 
-Primary metric: device-resident encode — source pixels already in HBM; the
-timed loop covers the fused device program (color/DCT/quant/zigzag/DPCM/
-device bitpack), download of the compressed scan, and JFIF assembly to final
-bytes. Transfer-inclusive and decode numbers go to stderr.
+Measurement methodology: this container adds a fixed ~22 ms dispatch floor per
+device call (tunnel RPC latency — tools/tpu_probe6.py). Stage timings and the
+sustained rates therefore pipeline N dispatches and divide: that is the
+steady-state cost a serving deployment sees, and what single-dispatch timing
+converges to on a directly-attached TPU. Single-dispatch latency is reported
+separately as encode_latency_ms.
+
+Primary metric: sustained device-resident encode — source pixels already in
+HBM; covers the fused device program (color/DCT/quant/zigzag/DPCM/device
+bitpack), download of the compressed scan, and JFIF assembly to final bytes,
+with host finalize overlapped with device work (two worker threads).
 """
 
 from __future__ import annotations
@@ -80,7 +87,6 @@ def child(platform: str) -> None:
     htables = huffman.standard_tables()
     luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(htables))
     fn = E._jit_color_packed(mode, 0)
-    geom = E._packed_geometry(h // mode.mcu_height, w // mode.mcu_width, mode)
     qy_np, qc_np = quant.luma_table(75), quant.chroma_table(75)
     comps = [
         jfif.ComponentSpec(1, 2, 2, 0, 0, 0),
@@ -96,13 +102,16 @@ def child(platform: str) -> None:
         leaf = jax.tree_util.tree_leaves(x)[0]
         np.asarray(leaf.ravel()[0])
 
+    def finalize(out, w0=w, h0=h):
+        words, totals, ok = out
+        t = int(np.asarray(totals)[0])
+        w_host = np.asarray(words[0, : (t + 31) // 32])
+        scan = bitpack.finalize_segment(w_host, t).tobytes()
+        return jfif.write_jpeg(w0, h0, comps, {0: qy_np, 1: qc_np}, htables, scan)
+
     def device_encode():
         if use_device_pack:
-            words, totals, ok = fn(dev_img, qy, qc, *luts, *geom)
-            t = int(np.asarray(totals)[0])
-            w_host = np.asarray(words[0, : (t + 31) // 32])
-            scan = bitpack.finalize_segment(w_host, t).tobytes()
-            return jfif.write_jpeg(w, h, comps, {0: qy_np, 1: qc_np}, htables, scan)
+            return finalize(fn(dev_img, qy, qc, *luts))
         # One restart segment per MCU row: the C++ packer threads across
         # segments (the TPU child keeps r=0 to stay on its cached program).
         return encode(img, quality=75, subsampling="420", restart_interval=135)
@@ -110,42 +119,59 @@ def child(platform: str) -> None:
     t0 = time.time()
     jpg = device_encode()
     log(f"warmup encode: {time.time()-t0:.2f}s, {len(jpg)} bytes")
-    # Best epoch of several: the 2-core host is noisy; report capability.
-    enc_s = float("inf")
+
+    # Single-dispatch latency (includes the ~22 ms tunnel dispatch floor).
+    lat_s = float("inf")
     for _ in range(4):
         t0 = time.time()
-        for _ in range(2):
-            jpg = device_encode()
-        enc_s = min(enc_s, (time.time() - t0) / 2)
-    enc_rate = mpix / enc_s
-    log(f"encode (best of 4 epochs): {enc_s*1e3:.1f} ms -> {enc_rate:.1f} MPix/s")
+        device_encode()
+        lat_s = min(lat_s, time.time() - t0)
+    log(f"encode latency: {lat_s*1e3:.1f} ms -> {mpix/lat_s:.1f} MPix/s")
 
-    # Sustained (pipelined) throughput: dispatch K device programs back to
-    # back, then drain; per-dispatch tunnel latency (~22 ms here) overlaps,
-    # which is what a serving deployment sees. Host finalize runs after the
-    # fetches (it is ~10 ms/image of pure CPU).
+    # Sustained throughput: dispatch K device programs back to back, then
+    # drain with fetch/finalize overlapped on two worker threads (the device
+    # keeps computing image i+1 while the host downloads and finalizes i).
+    enc_rate = mpix / lat_s
     pipe_rate = None
     if use_device_pack:
-        try:
-            K = 8
-            t0 = time.time()
-            outs = [fn(dev_img, qy, qc, *luts, *geom) for _ in range(K)]
-            jpgs = []
-            for words, totals, ok in outs:
-                t = int(np.asarray(totals)[0])
-                w_host = np.asarray(words[0, : (t + 31) // 32])
-                scan = bitpack.finalize_segment(w_host, t).tobytes()
-                jpgs.append(jfif.write_jpeg(w, h, comps, {0: qy_np, 1: qc_np},
-                                            htables, scan))
-            pipe_s = (time.time() - t0) / K
-            pipe_rate = mpix / pipe_s
-            assert jpgs[0] == jpg
-            log(f"encode (pipelined x{K}): {pipe_s*1e3:.1f} ms/img -> "
-                f"{pipe_rate:.1f} MPix/s")
-        except Exception as e:
-            log(f"pipelined encode failed: {e}")
+        from concurrent.futures import ThreadPoolExecutor
 
-    # --- stage breakdown (VERDICT r1 item 10: quantify the tunnel tax) -----
+        K = 8
+        with ThreadPoolExecutor(2) as pool:
+            t0 = time.time()
+            outs = [fn(dev_img, qy, qc, *luts) for _ in range(K)]
+            jpgs = list(pool.map(finalize, outs))
+            pipe_s = (time.time() - t0) / K
+        pipe_rate = mpix / pipe_s
+        assert jpgs[0] == jpg and len(jpgs) == K
+        log(f"encode (pipelined x{K}, threaded drain): {pipe_s*1e3:.1f} ms/img"
+            f" -> {pipe_rate:.1f} MPix/s")
+        enc_rate = max(enc_rate, pipe_rate)
+
+    # Batched multi-image device program: K images per dispatch.
+    batched_rate = None
+    if use_device_pack:
+        try:
+            KB = 4
+            fnb = E._jit_color_packed_batch(mode, 0)
+            batch = jnp.broadcast_to(dev_img, (KB, *dev_img.shape))
+            sync(fnb(batch, qy, qc, *luts))  # warm
+            t0 = time.time()
+            reps = 2
+            ob = None
+            for _ in range(reps):
+                ob = fnb(batch, qy, qc, *luts)
+            sync(ob)
+            bat_s = (time.time() - t0) / (reps * KB)
+            batched_rate = mpix / bat_s
+            tb = np.asarray(ob[1])
+            assert tb.shape[0] == KB and int(tb[0, 0]) == int(tb[1, 0])
+            log(f"encode (batched x{KB} per dispatch): {bat_s*1e3:.1f} ms/img "
+                f"-> {batched_rate:.1f} MPix/s (device program only)")
+        except Exception as e:
+            log(f"batched encode failed: {type(e).__name__}: {e}")
+
+    # --- encode stage breakdown (pipelined x4 to cancel the dispatch floor) --
     stages = {}
     try:
         t0 = time.time()
@@ -153,21 +179,28 @@ def child(platform: str) -> None:
         sync(staged)
         stages["h2d_ms"] = round((time.time() - t0) * 1e3, 1)
 
-        tf = E._jit_color(mode)
-        sync(tf(dev_img, qy, qc))  # warm + drain the dispatch queue
-        t0 = time.time()
-        sync(tf(dev_img, qy, qc))
-        stages["transform_ms"] = round((time.time() - t0) * 1e3, 1)
+        def timed_pipe(f, n=4):
+            sync(f())
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                out = None
+                for _ in range(n):
+                    out = f()
+                sync(out)
+                best = min(best, (time.time() - t0) / n)
+            return best * 1e3
 
+        tf = E._jit_color(mode)
+        stages["transform_ms"] = round(timed_pipe(
+            lambda: tf(dev_img, qy, qc)), 1)
         if use_device_pack:
+            full = timed_pipe(lambda: fn(dev_img, qy, qc, *luts))
+            stages["pack_ms"] = round(full - stages["transform_ms"], 1)
+            out = fn(dev_img, qy, qc, *luts)
+            t = int(np.asarray(out[1])[0])
             t0 = time.time()
-            words, totals, ok = fn(dev_img, qy, qc, *luts, *geom)
-            t = int(np.asarray(totals)[0])
-            stages["pack_ms"] = round(
-                (time.time() - t0) * 1e3 - stages["transform_ms"], 1
-            )
-            t0 = time.time()
-            w_host = np.asarray(words[0, : (t + 31) // 32])
+            w_host = np.asarray(out[0][0, : (t + 31) // 32])
             stages["d2h_ms"] = round((time.time() - t0) * 1e3, 1)
             t0 = time.time()
             scan = bitpack.finalize_segment(w_host, t).tobytes()
@@ -175,10 +208,10 @@ def child(platform: str) -> None:
             stages["host_ms"] = round((time.time() - t0) * 1e3, 1)
         log(f"encode stages: {stages}")
     except Exception as e:
-        log(f"stage breakdown failed: {e}")
+        log(f"stage breakdown failed: {type(e).__name__}: {e}")
 
     # --- decode: device-resident (pixels stay in HBM — the serving case) ---
-    dec_rate = dec_resident_rate = None
+    dec_rate = dec_resident_rate = dec_scale8_rate = None
     dec_stages = {}
     try:
         entropy = "indexed" if use_device_pack else "auto"
@@ -198,43 +231,87 @@ def child(platform: str) -> None:
         log(f"decode (to host): {dec_s*1e3:.1f} ms -> {dec_rate:.1f} MPix/s")
         assert host_out.shape == img.shape
 
-        from jpeg_tpu.models.decoder import _decode_scan
+        # Stage attribution: each stage measured directly (never derived by
+        # subtraction, which went negative in BENCH_r02 when the separately
+        # measured entropy pass overlapped the in-decode one).
+        from jpeg_tpu.entropy import native
+        from jpeg_tpu.models.decoder import _decode_scan, _jit_finish_color
         from jpeg_tpu.models import layout as L
 
         info = jfif.parse_jpeg(jpg)
         cy = info.components[0]
-        n_mcu = L.ceil_div(info.height, 8 * cy.v) * L.ceil_div(info.width, 8 * cy.h)
+        mcu_rows = L.ceil_div(info.height, 8 * cy.v)
+        mcu_cols = L.ceil_div(info.width, 8 * cy.h)
+        n_mcu = mcu_rows * mcu_cols
         mcu_layout = [
             (i, c.h * c.v, c.dc_id, c.ac_id)
             for i, c in enumerate(info.components)
         ]
+        if native.available():
+            t0 = time.time()
+            native.index_scan(info.scan_data, n_mcu, mcu_layout, info.htables,
+                              info.restart_interval)
+            dec_stages["index_ms"] = round((time.time() - t0) * 1e3, 1)
+        # full entropy stage (host index + upload + device AC program)
         t0 = time.time()
         zz = _decode_scan(info, n_mcu, mcu_layout, entropy)
         if not isinstance(zz[0], np.ndarray):
             sync(zz[0])
         dec_stages["entropy_ms"] = round((time.time() - t0) * 1e3, 1)
-        dec_stages["finish_ms"] = round(
-            dec_res_s * 1e3 - dec_stages["entropy_ms"], 1
-        )
+        # finishing program alone (pipelined)
+        comps_i = info.components
+        shapes = tuple((mcu_rows * c.v, mcu_cols * c.h) for c in comps_i)
+        factors = tuple((2 // c.h, 2 // c.v) for c in comps_i)
+        ffn = _jit_finish_color(shapes, factors)
+        zzr = [
+            L.scan_to_raster(s, mcu_rows, mcu_cols, c.v, c.h)
+            if c.h * c.v > 1 else s
+            for c, s in zip(comps_i, zz)
+        ]
+        zzd = [jnp.asarray(z) for z in zzr]
+        qts = [jnp.asarray(info.qtables[c.qtab_id]) for c in comps_i]
+        sync(ffn(*zzd, *qts))
+        t0 = time.time()
+        o = None
+        for _ in range(4):
+            o = ffn(*zzd, *qts)
+        sync(o)
+        dec_stages["finish_ms"] = round((time.time() - t0) / 4 * 1e3, 1)
         log(f"decode stages: {dec_stages}")
-    except Exception as e:
-        log(f"decode measurement failed: {e}")
 
-    tag = "device-resident" if use_device_pack else "host"
+        # Transfer-mitigation row: DCT-domain scaled decode to host (the
+        # thumbnail path shrinks the D2H transfer by scale_denom^2).
+        s_out = decode(jpg, entropy=entropy, scale_denom=8)  # warm + check
+        assert s_out.shape[0] == L.ceil_div(info.height, 8)
+        t0 = time.time()
+        decode(jpg, entropy=entropy, scale_denom=8)
+        s8 = time.time() - t0
+        dec_scale8_rate = mpix / s8
+        log(f"decode (scale_denom=8, to host): {s8*1e3:.1f} ms -> "
+            f"{dec_scale8_rate:.1f} MPix/s of source")
+    except Exception as e:
+        log(f"decode measurement failed: {type(e).__name__}: {e}")
+
+    tag = "device-resident sustained" if use_device_pack else "host"
     result = {
         "metric": f"4K q75 4:2:0 encode to JFIF bytes ({tag}, {platform})",
         "value": round(enc_rate, 2),
         "unit": "MPix/s",
         "vs_baseline": round(enc_rate / BASELINE_MPIX_S, 1),
+        "encode_latency_ms": round(lat_s * 1e3, 1),
         "encode_stages": stages,
         "decode_stages": dec_stages,
     }
     if pipe_rate is not None:
         result["encode_pipelined_mpix_s"] = round(pipe_rate, 2)
+    if batched_rate is not None:
+        result["encode_batched_mpix_s"] = round(batched_rate, 2)
     if dec_resident_rate is not None:
         result["decode_mpix_s"] = round(dec_resident_rate, 2)
     if dec_rate is not None:
         result["decode_to_host_mpix_s"] = round(dec_rate, 2)
+    if dec_scale8_rate is not None:
+        result["decode_scale8_to_host_mpix_s"] = round(dec_scale8_rate, 2)
     print(json.dumps(result), flush=True)
 
 

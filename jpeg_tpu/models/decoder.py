@@ -43,8 +43,8 @@ def _reconstruct_plane(zz, qtab, blocks_shape, use_pallas: bool = False,
     range, and clamping order is observable through the triangular chroma
     upsample (discovered by the q=1 4:2:0 fuzz case)."""
     hb, wb = blocks_shape
-    blocks = zigzag.from_zigzag(zz.reshape(hb, wb, 64))
     if k != 8:
+        blocks = zigzag.from_zigzag(zz.reshape(hb, wb, 64))
         coeff = quant.dequantize(blocks, qtab)
         b = jnp.asarray(dct.idct_scaled_basis(k))
         small = jnp.einsum(
@@ -56,13 +56,22 @@ def _reconstruct_plane(zz, qtab, blocks_shape, use_pallas: bool = False,
     elif use_pallas:
         from jpeg_tpu.ops import fused
 
+        blocks = zigzag.from_zigzag(zz.reshape(hb, wb, 64))
         interp = jax.default_backend() == "cpu"
         plane = fused.fused_dequant_idct(
             tile.unblockify(blocks), qtab, interpret=interp
         )
     else:
-        coeff = quant.dequantize(blocks, qtab)
-        plane = tile.unblockify(dct.idct_blocks(coeff)) + 128.0
+        # De-zigzag + dequantize + IDCT as ONE (64, 64) MXU contraction: the
+        # zig-zag permutation is folded into the matrix rows and the quant
+        # table (permuted to zig-zag order) scales the input columns — no
+        # gathers (see dct.zigzag_dct_matrix).
+        from jpeg_tpu import tables
+
+        qz = qtab.reshape(64)[jnp.asarray(tables.ZIGZAG_ORDER)].astype(
+            jnp.float32)
+        flat = dct.idct_zigzag_blocks(zz.reshape(-1, 64).astype(jnp.float32) * qz)
+        plane = tile.plane_from_scan_blocks(flat, hb, wb) + 128.0
     return jnp.clip(plane, 0.0, 255.0)
 
 
@@ -360,9 +369,11 @@ def decode(data: bytes, fancy_upsample: bool = True,
             (i, c.h * c.v, c.dc_id, c.ac_id) for i, c in enumerate(comps)
         ]
         scans = _decode_scan(info, n_mcu, mcu_layout, entropy)
-        # Scan order -> plane raster order per component (spec A.2.3).
+        # Scan order -> plane raster order per component (spec A.2.3), as a
+        # reshape+transpose (device arrays from the indexed backend would pay
+        # a real row-gather otherwise).
         zz = [
-            s[layout.inverse_permutation(mcu_rows, mcu_cols, c.v, c.h)]
+            layout.scan_to_raster(s, mcu_rows, mcu_cols, c.v, c.h)
             if c.h * c.v > 1 else s
             for c, s in zip(comps, scans)
         ]

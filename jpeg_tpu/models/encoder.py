@@ -37,21 +37,43 @@ from jpeg_tpu.ops import color, dct, quant, subsample, tile, zigzag
 # ---------------------------------------------------------------------------
 
 
+def _zigzag_qtab(qtab):
+    """(8, 8) quant table -> (64,) zig-zag-ordered f32 divisors (tiny static
+    gather; runs once per program on 64 elements)."""
+    from jpeg_tpu import tables
+
+    return qtab.reshape(64)[jnp.asarray(tables.ZIGZAG_ORDER)].astype(jnp.float32)
+
+
+def _plane_zz(plane, qtab, v: int = 1, h: int = 1):
+    """Centered (H, W) f32 plane -> (B, 64) quantized zig-zag int32 blocks.
+
+    One layout transpose (tile.blocks_scan_order — MCU scan order when
+    v/h > 1, raster block order otherwise), one (64, 64) MXU contraction that
+    computes the 2-D DCT with the zig-zag permutation folded in
+    (dct.fdct_zigzag_blocks), then the canonical round(coef/Q). No gathers:
+    round-2 profiling showed TPU gathers from small tables serialize
+    (tools/tpu_probe7.py), so the zig-zag reorder lives in the matmul."""
+    flat = tile.blocks_scan_order(plane, v, h)
+    zz = dct.fdct_zigzag_blocks(flat)
+    return quant.round_half_away(zz / _zigzag_qtab(qtab)).astype(jnp.int32)
+
+
 def _transform_color(rgb, qy, qc, mode: Subsampling, use_pallas: bool = False):
-    """uint8 (H, W, 3), H/W already MCU-aligned -> (y_zz, cb_zz, cr_zz).
+    """uint8 (H, W, 3), H/W already MCU-aligned -> (y_zz, cb_zz, cr_zz) in
+    raster block order per component.
 
     use_pallas routes the level-shift+DCT+quantize through the fused Pallas
     kernel (ops/fused.py). Outputs may differ from the XLA path by ±1 at exact
     rounding boundaries (different f32 accumulation order) — both are valid
     encoders; the XLA path is the byte-stable default.
     """
-    ycc = color.rgb_to_ycbcr(rgb)
+    y, cb, cr = color.rgb_to_ycbcr_planes(rgb)
     # Level shift: all components move to [-128, 127] before the DCT
-    # (T.81 A.3.1). Chroma already carries a +128 offset from the color matrix.
-    ycc = ycc - 128.0
-    y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
-    cb = subsample.downsample_plane(cb, mode)
-    cr = subsample.downsample_plane(cr, mode)
+    # (T.81 A.3.1).
+    y = y - 128.0
+    cb = subsample.downsample_plane(cb - 128.0, mode)
+    cr = subsample.downsample_plane(cr - 128.0, mode)
 
     if use_pallas:
         from jpeg_tpu.ops import fused
@@ -62,22 +84,15 @@ def _transform_color(rgb, qy, qc, mode: Subsampling, use_pallas: bool = False):
             # fused kernel includes the -128 shift; undo the one above.
             qp = fused.fused_dct_quantize(plane + 128.0, qtab, interpret=interp)
             return zigzag.to_zigzag(tile.blockify(qp)).reshape(-1, 64)
-    else:
 
-        def plane_to_zz(plane, qtab):
-            coeff = dct.fdct_plane(plane)
-            qc_plane = quant.quantize_plane(coeff, qtab)
-            blocks = tile.blockify(qc_plane)
-            return zigzag.to_zigzag(blocks).reshape(-1, 64)
+        return plane_to_zz(y, qy), plane_to_zz(cb, qc), plane_to_zz(cr, qc)
 
-    return plane_to_zz(y, qy), plane_to_zz(cb, qc), plane_to_zz(cr, qc)
+    return _plane_zz(y, qy), _plane_zz(cb, qc), _plane_zz(cr, qc)
 
 
 def _transform_gray(plane, qy):
     x = plane.astype(jnp.float32) - 128.0
-    coeff = dct.fdct_plane(x)
-    qp = quant.quantize_plane(coeff, qy)
-    return zigzag.to_zigzag(tile.blockify(qp)).reshape(-1, 64)
+    return _plane_zz(x, qy)
 
 
 @functools.cache
@@ -101,36 +116,59 @@ def _jit_color(mode: Subsampling, use_pallas: bool = False):
 WORDS_PER_BLOCK = 8
 
 
-def _interleave_index(n_mcu: int, hv: int, n_y: int, n_c: int) -> np.ndarray:
-    """Static gather index: concat([y_scan, cb, cr]) -> MCU-interleaved order."""
-    m = np.arange(n_mcu)[:, None]
-    yi = m * hv + np.arange(hv)[None, :]
-    cb = n_y + m
-    cr = n_y + n_c + m
-    return np.concatenate([yi, cb, cr], axis=1).reshape(-1)
-
-
-def _transform_color_packed(
-    rgb, qy, qc, dc_code, dc_len, ac_code, ac_len, perm_y, gather, tbl, *,
-    mode: Subsampling, restart_mcus: int, pallas_pack: bool = False,
-):
-    # perm_y/gather/tbl are geometry-derived index arrays passed as runtime
-    # arguments: baking them as HLO literals made XLA compiles take minutes.
-    y_zz, cb_zz, cr_zz = _transform_color(rgb, qy, qc, mode=mode)
+def _scan_components(rgb, qy, qc, mode: Subsampling, restart_mcus: int):
+    """Pixels -> (y_scan, cb_zz, cr_zz, n_mcu, hv): per-component quantized
+    zig-zag blocks with luma already in MCU scan order (direct from the
+    blocks_scan_order transpose — no permutation gather) and DC DPCM'd with
+    restart resets."""
     hf, vf = mode.h_factor, mode.v_factor
     hv = hf * vf
     h, w = rgb.shape[0], rgb.shape[1]
-    mcu_rows, mcu_cols = h // mode.mcu_height, w // mode.mcu_width
-    n_mcu = mcu_rows * mcu_cols
+    n_mcu = (h // mode.mcu_height) * (w // mode.mcu_width)
 
-    y_scan = y_zz[perm_y]
+    y, cb, cr = color.rgb_to_ycbcr_planes(rgb)
+    y = y - 128.0
+    cb = subsample.downsample_plane(cb - 128.0, mode)
+    cr = subsample.downsample_plane(cr - 128.0, mode)
+
+    y_scan = _plane_zz(y, qy, vf, hf)
+    cb_zz = _plane_zz(cb, qc)
+    cr_zz = _plane_zz(cr, qc)
+
     r = int(restart_mcus)
     y_scan = y_scan.at[:, 0].set(dpcm_ops.dpcm(y_scan[:, 0], r * hv))
     cb_zz = cb_zz.at[:, 0].set(dpcm_ops.dpcm(cb_zz[:, 0], r))
     cr_zz = cr_zz.at[:, 0].set(dpcm_ops.dpcm(cr_zz[:, 0], r))
+    return y_scan, cb_zz, cr_zz, n_mcu, hv
 
-    blocks = jnp.concatenate([y_scan, cb_zz, cr_zz], axis=0)[gather]
 
+def _interleaved_blocks(rgb, qy, qc, mode: Subsampling, restart_mcus: int):
+    """Device half shared by the packed and histogram programs: pixels ->
+    (n_mcu * bpm, 64) MCU-interleaved DPCM'd blocks plus the (B,) table-id
+    array. Luma comes out of the transform directly in MCU scan order (one
+    transpose), interleave is an axis-1 concat — no gathers, no index-array
+    arguments (the round-2 geometry arrays existed to dodge giant HLO
+    literals; nothing here needs an index at all)."""
+    y_scan, cb_zz, cr_zz, n_mcu, hv = _scan_components(
+        rgb, qy, qc, mode, restart_mcus)
+    blocks = jnp.concatenate(
+        [y_scan.reshape(n_mcu, hv, 64), cb_zz[:, None], cr_zz[:, None]],
+        axis=1,
+    ).reshape(-1, 64)
+    tbl_row = jnp.concatenate(
+        [jnp.zeros((hv,), jnp.int32), jnp.ones((2,), jnp.int32)]
+    )
+    tbl = jnp.tile(tbl_row, n_mcu)
+    return blocks, tbl, n_mcu, hv
+
+
+def _transform_color_packed(
+    rgb, qy, qc, dc_code, dc_len, ac_code, ac_len, *,
+    mode: Subsampling, restart_mcus: int, pallas_pack: bool = False,
+):
+    blocks, tbl, n_mcu, hv = _interleaved_blocks(
+        rgb, qy, qc, mode, restart_mcus)
+    r = int(restart_mcus)
     bpm = hv + 2
     nblocks = n_mcu * bpm
     if pallas_pack:
@@ -179,19 +217,28 @@ def _jit_color_packed(mode: Subsampling, restart_mcus: int,
     )
 
 
-def _transform_color_hists(rgb, qy, qc, perm_y, *, mode: Subsampling,
+@functools.cache
+def _jit_color_packed_batch(mode: Subsampling, restart_mcus: int):
+    """K-image packed encode as ONE device program: vmap over a stacked
+    (K, H, W, 3) batch. Amortizes the fixed per-dispatch cost (probe-measured
+    at ~22 ms through this container's tunnel — VERDICT r2 item 2) across K
+    images; output shapes grow a leading K axis."""
+    f = functools.partial(
+        _transform_color_packed, mode=mode, restart_mcus=restart_mcus
+    )
+    return jax.jit(
+        jax.vmap(f, in_axes=(0, None, None, None, None, None, None))
+    )
+
+
+def _transform_color_hists(rgb, qy, qc, *, mode: Subsampling,
                            restart_mcus: int):
     """Pass 1 of device-packed optimized-table encode: global symbol
     histograms [dc_luma, ac_luma, dc_chroma, ac_chroma] on device."""
     from jpeg_tpu.ops import symbols
 
-    y_zz, cb_zz, cr_zz = _transform_color(rgb, qy, qc, mode=mode)
-    hv = mode.h_factor * mode.v_factor
-    r = int(restart_mcus)
-    y_scan = y_zz[perm_y]
-    y_scan = y_scan.at[:, 0].set(dpcm_ops.dpcm(y_scan[:, 0], r * hv))
-    cb_zz = cb_zz.at[:, 0].set(dpcm_ops.dpcm(cb_zz[:, 0], r))
-    cr_zz = cr_zz.at[:, 0].set(dpcm_ops.dpcm(cr_zz[:, 0], r))
+    y_scan, cb_zz, cr_zz, _, _ = _scan_components(
+        rgb, qy, qc, mode, restart_mcus)
     dc_l, ac_l = symbols.symbol_histogram(y_scan)
     dc_c1, ac_c1 = symbols.symbol_histogram(cb_zz)
     dc_c2, ac_c2 = symbols.symbol_histogram(cr_zz)
@@ -205,25 +252,6 @@ def _jit_color_hists(mode: Subsampling, restart_mcus: int):
             _transform_color_hists, mode=mode, restart_mcus=restart_mcus
         )
     )
-
-
-@functools.lru_cache(maxsize=64)
-def _packed_geometry(mcu_rows: int, mcu_cols: int, mode: Subsampling):
-    """Device-resident index arrays for the packed pipeline of one geometry."""
-    from jpeg_tpu.models import layout
-
-    hf, vf = mode.h_factor, mode.v_factor
-    hv = hf * vf
-    n_mcu = mcu_rows * mcu_cols
-    n_y = n_mcu * hv
-    perm_y = jnp.asarray(
-        layout.mcu_scan_permutation(mcu_rows, mcu_cols, vf, hf).astype(np.int32)
-    )
-    gather = jnp.asarray(_interleave_index(n_mcu, hv, n_y, n_mcu).astype(np.int32))
-    tbl_np = np.zeros((n_mcu, hv + 2), dtype=np.int32)
-    tbl_np[:, hv:] = 1
-    tbl = jnp.asarray(tbl_np.reshape(-1))
-    return perm_y, gather, tbl
 
 
 @functools.cache
@@ -425,12 +453,9 @@ def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
         device_pack = jax.default_backend() != "cpu"
     pack_ok = r == 0 or n_mcu % r == 0
     if device_pack and pack_ok:
-        geom = _packed_geometry(
-            img.shape[0] // mode.mcu_height, img.shape[1] // mode.mcu_width, mode
-        )
         if cfg.optimize_tables:
             # Pass 1: device symbol histograms -> per-image optimal tables.
-            hists = np.asarray(_jit_color_hists(mode, r)(img, qy, qc, geom[0]))
+            hists = np.asarray(_jit_color_hists(mode, r)(img, qy, qc))
             htables = {
                 (0, 0): huffman.optimal_table(hists[0]),
                 (1, 0): huffman.optimal_table(hists[1]),
@@ -441,7 +466,7 @@ def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
             htables = huffman.standard_tables()
         luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(htables))
         words, totals, ok = _jit_color_packed(mode, r, use_pallas_pack)(
-            img, qy, qc, *luts, *geom
+            img, qy, qc, *luts
         )
         totals_np = np.asarray(totals)
         if not bool(np.asarray(ok).all()):

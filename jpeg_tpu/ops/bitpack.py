@@ -97,15 +97,29 @@ def build_bitfields(blocks, tbl, dc_code, dc_len, ac_code, ac_len):
     dbits = (dcode << dsize.astype(jnp.uint32)) | _amp_bits(dc, dsize)
     dnbits = dlen + dsize
 
-    # AC
+    # AC: two-stage lookup. The one-shot 512-wide one-hot materializes a
+    # (B, 63, 512) f32 LHS (~25 GB of HBM traffic on 4K — tools/tpu_probe7b
+    # measured it as most of pack_ms). Stage 1 one-hots only (tbl, run) — 32
+    # wide — into 16 size-candidates per element via one MXU dot; stage 2
+    # selects by size elementwise (fuses). Values code*32+len <= 2^21 are
+    # exact in f32 and HIGHEST precision keeps the dot exact.
     nz, run, last_nz = symbols.ac_run_lengths(blocks)
     nz = nz[:, 1:]
     run = jnp.where(nz, run[:, 1:], 0)
     v = blocks[:, 1:]
     size = jnp.where(nz, symbols.bit_size(v), 0)
-    sym = ((run & 15) << 4) | size
-    ac_tab = _split_cols(ac_code.reshape(512), ac_len.reshape(512))
-    code, aclen = _onehot_lookup(tbl[:, None] * 256 + sym, ac_tab, 512)
+    t1 = (ac_code.astype(jnp.float32) * 32.0
+          + ac_len.astype(jnp.float32)).reshape(32, 16)  # [(tbl, run), size]
+    oh = jax.nn.one_hot(tbl[:, None] * 16 + (run & 15), 32, dtype=jnp.float32)
+    cand = jax.lax.dot_general(
+        oh, t1, (((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    sel = jnp.sum(cand * jax.nn.one_hot(size, 16, dtype=jnp.float32), axis=-1)
+    packed = sel.astype(jnp.int32)
+    code = (packed >> 5).astype(jnp.uint32)
+    aclen = packed & 31
     clen = jnp.where(nz, aclen, 0)
     cbits = jnp.where(
         nz, (code << size.astype(jnp.uint32)) | _amp_bits(v, size), 0

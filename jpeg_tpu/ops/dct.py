@@ -83,6 +83,46 @@ def idct_blocks(coeffs: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+@functools.cache
+def zigzag_dct_matrix() -> np.ndarray:
+    """(64, 64) matrix M with zz_coeffs = M @ block_flat: the full 2-D DCT
+    (kron(D, D) over a row-major flattened 8x8 block) with the zig-zag
+    permutation folded into the row order.
+
+    This is the round-3 hot-path form: ONE MXU contraction replaces the two
+    separable einsums PLUS the zig-zag gather (TPU gathers from small tables
+    serialize — tools/tpu_probe7.py measured the (B, 64) zig-zag gather at
+    ~5 ms for a 4K luma plane, the same as the whole kron matmul including
+    quantization). M is orthogonal (permutation x orthogonal kron), so the
+    inverse transform is M^T — see idct_zigzag_blocks.
+    """
+    from jpeg_tpu import tables
+
+    d = dct_basis().astype(np.float64)
+    k = np.kron(d, d)
+    return k[np.asarray(tables.ZIGZAG_ORDER)].astype(np.float32)
+
+
+def fdct_zigzag_blocks(flat_blocks: jnp.ndarray) -> jnp.ndarray:
+    """(B, 64) row-major flattened spatial blocks -> (B, 64) zig-zag-ordered
+    DCT coefficients, one HIGHEST-precision MXU contraction."""
+    m = jnp.asarray(zigzag_dct_matrix())
+    return jax.lax.dot_general(
+        flat_blocks.astype(jnp.float32), m, (((1,), (1,)), ((), ())),
+        precision=_PRECISION, preferred_element_type=jnp.float32,
+    )
+
+
+def idct_zigzag_blocks(zz: jnp.ndarray) -> jnp.ndarray:
+    """(B, 64) zig-zag-ordered (dequantized) coefficients -> (B, 64) row-major
+    flattened spatial blocks (the exact transpose pair of fdct_zigzag_blocks)."""
+    m = jnp.asarray(zigzag_dct_matrix())
+    return jax.lax.dot_general(
+        zz.astype(jnp.float32), m, (((1,), (0,)), ((), ())),
+        precision=_PRECISION, preferred_element_type=jnp.float32,
+    )
+
+
 def fdct_plane(plane: jnp.ndarray) -> jnp.ndarray:
     """Separable DCT over an (H, W) plane kept in image layout.
 

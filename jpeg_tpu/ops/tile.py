@@ -39,6 +39,27 @@ def blockify(plane: jnp.ndarray) -> jnp.ndarray:
     return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
 
 
+def blocks_scan_order(plane: jnp.ndarray, v: int = 1, h: int = 1) -> jnp.ndarray:
+    """(H, W) plane -> (H*W/64, 64) row-major flattened 8x8 blocks in MCU scan
+    order, as ONE transpose (no gather): blocks are grouped v x h per MCU and
+    emitted MCU-raster-major, v-by-h raster within each MCU (spec A.2.3).
+    v = h = 1 gives plain raster block order. Folds blockify + the encoder's
+    raster->scan permutation into a single layout change."""
+    hh, ww = plane.shape
+    hb, wb = hh // 8, ww // 8
+    assert hb % v == 0 and wb % h == 0, (plane.shape, v, h)
+    x = plane.reshape(hb // v, v, 8, wb // h, h, 8)
+    return x.transpose(0, 3, 1, 4, 2, 5).reshape(hb * wb, 64)
+
+
+def plane_from_scan_blocks(flat: jnp.ndarray, hb: int, wb: int,
+                           v: int = 1, h: int = 1) -> jnp.ndarray:
+    """Inverse of blocks_scan_order: (hb*wb, 64) scan-order flattened blocks
+    -> (hb*8, wb*8) plane."""
+    x = flat.reshape(hb // v, wb // h, v, h, 8, 8)
+    return x.transpose(0, 2, 4, 1, 3, 5).reshape(hb * 8, wb * 8)
+
+
 def unblockify(blocks: jnp.ndarray) -> jnp.ndarray:
     """(Hb, Wb, 8, 8) -> (Hb*8, Wb*8)."""
     hb, wb = blocks.shape[0], blocks.shape[1]

@@ -57,10 +57,7 @@ def encode_stream(
         )
         if not device_pack:
             return ("host", img, None)
-        geom = E._packed_geometry(
-            dev.shape[0] // mode.mcu_height, dev.shape[1] // mode.mcu_width, mode
-        )
-        out = E._jit_color_packed(mode, 0)(dev, qy, qc, *luts, *geom)
+        out = E._jit_color_packed(mode, 0)(dev, qy, qc, *luts)
         return ("device", img, (h0, w0, out))
 
     def finish(item) -> bytes:

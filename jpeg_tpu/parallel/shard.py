@@ -42,8 +42,11 @@ def _stripe_transform(imgs, qy, qc, mode: Subsampling, mcu_cols: int):
     def one_image(img):
         y_zz, cb_zz, cr_zz = _transform_color(img, qy, qc, mode=mode)
         rows_local = y_zz.shape[0] // (mcu_cols * hv)
-        perm = jnp.asarray(layout.mcu_scan_permutation(rows_local, mcu_cols, vf, hf))
-        return y_zz[perm], cb_zz, cr_zz
+        # Raster -> MCU scan order as a reshape+transpose (no gather; same
+        # values as the old mcu_scan_permutation row gather).
+        y_scan = y_zz.reshape(rows_local, vf, mcu_cols, hf, 64).transpose(
+            0, 2, 1, 3, 4).reshape(-1, 64)
+        return y_scan, cb_zz, cr_zz
 
     return jax.vmap(one_image)(imgs)  # (b, n_local, 64) each, scan order
 
@@ -85,9 +88,7 @@ def _stripe_step_packed(imgs, qy, qc, dc_code, dc_len, ac_code, ac_len, *,
     'parallel Huffman bitstream stitch', BASELINE configs 4-5). Stripe
     restarts by construction, so no DC exchange is needed and segments are
     byte-aligned for the host stitch."""
-    from jpeg_tpu.models.encoder import (
-        WORDS_PER_BLOCK, _interleave_index,
-    )
+    from jpeg_tpu.models.encoder import WORDS_PER_BLOCK
     from jpeg_tpu.ops import bitpack
 
     hf, vf = mode.h_factor, mode.v_factor
@@ -103,18 +104,20 @@ def _stripe_step_packed(imgs, qy, qc, dc_code, dc_len, ac_code, ac_len, *,
     y, cb, cr = dpcm0(y), dpcm0(cb), dpcm0(cr)
 
     n_mcu_local = cb.shape[1]
-    gather = jnp.asarray(
-        _interleave_index(n_mcu_local, hv, y.shape[1], n_mcu_local).astype(np.int32)
+    tbl_row = jnp.concatenate(
+        [jnp.zeros((hv,), jnp.int32), jnp.ones((2,), jnp.int32)]
     )
-    tbl_np = np.zeros((n_mcu_local, hv + 2), dtype=np.int32)
-    tbl_np[:, hv:] = 1
-    tbl = jnp.asarray(tbl_np.reshape(-1))
+    tbl = jnp.tile(tbl_row, n_mcu_local)
 
     nblocks = n_mcu_local * (hv + 2)
     nwords = nblocks * WORDS_PER_BLOCK + 2
 
     def pack_one(yi, cbi, cri):
-        blocks = jnp.concatenate([yi, cbi, cri], axis=0)[gather]
+        # MCU interleave as an axis-1 concat (no gather).
+        blocks = jnp.concatenate(
+            [yi.reshape(n_mcu_local, hv, 64), cbi[:, None], cri[:, None]],
+            axis=1,
+        ).reshape(-1, 64)
         bits, nbits = bitpack.build_bitfields(
             blocks, tbl, dc_code, dc_len, ac_code, ac_len
         )
@@ -260,13 +263,19 @@ def _stripe_decode(y, cb, cr, qy, qc, *, mode: Subsampling, mcu_cols: int,
     hf, vf = mode.h_factor, mode.v_factor
 
     def plane(zz, qtab, wb):
+        # Fused de-zigzag+dequant+IDCT matmul — MUST stay the exact op
+        # sequence of models.decoder._reconstruct_plane so sharded output is
+        # bit-identical to single-device decode (range-limit to [0, 255]
+        # before upsampling/color, libjpeg post-IDCT semantics).
+        from jpeg_tpu import tables
+
         hb = zz.shape[0] // wb
-        blocks = zigzag.from_zigzag(zz.reshape(hb, wb, 64))
-        coeff = quant.dequantize(blocks, qtab)
-        # Range-limit to [0, 255] before upsampling/color, matching
-        # models.decoder._reconstruct_plane (libjpeg post-IDCT semantics).
+        qz = qtab.reshape(64)[jnp.asarray(tables.ZIGZAG_ORDER)].astype(
+            jnp.float32)
+        flat = dct.idct_zigzag_blocks(
+            zz.reshape(-1, 64).astype(jnp.float32) * qz)
         return jnp.clip(
-            tile.unblockify(dct.idct_blocks(coeff)) + 128.0, 0.0, 255.0
+            tile.plane_from_scan_blocks(flat, hb, wb) + 128.0, 0.0, 255.0
         )
 
     yp = jax.vmap(lambda z: plane(z, qy, mcu_cols * hf))(y)
