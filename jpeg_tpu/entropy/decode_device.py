@@ -315,6 +315,234 @@ def decode_scan_indexed(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Parallel-prefix device index (pointer doubling) — the DESIGN §6 sketch,
+# built: restart-free streams have no parallel seam, so the serial Huffman
+# chain is re-shaped as function composition over bit positions. For EVERY bit
+# position p the program tabulates "advance of one AC symbol starting at p"
+# (one LUT gather per position), pointer-doubles those into jump tables for
+# 2^j symbols, resolves "advance of one full block" for every p by a 6-step
+# binary descent (valid because k-increments are >= 1, so the prefix predicate
+# 'no EOB and k <= 63' is monotone), chains blocks into "advance of one MCU"
+# per position, pointer-doubles MCUs, and reads off every MCU's start bit —
+# all data-parallel on device. DC differences are then gathered at the now-
+# known positions, cumsum'd into absolute DCs, and the existing indexed AC
+# kernel (_decode_ac_indexed) decodes every block in parallel. Exact (not
+# speculative): bit-identical to the host walkers, errors composed via flags.
+# ---------------------------------------------------------------------------
+
+
+def _packed_dc_luts(htables: dict, dc_slots: tuple) -> np.ndarray:
+    """(len << 16) | size per 16-bit window; invalid windows (no code, or a
+    hostile DHT binding DC symbols > 16) carry sym -1 (low half 0xFFFF)."""
+    out = np.empty((len(dc_slots), 1 << 16), dtype=np.int32)
+    for i, key in enumerate(dc_slots):
+        s, l = decode_np.make_decode_lut(htables[key])
+        s = s.astype(np.int32)
+        l = l.astype(np.int32)
+        bad = (s < 0) | (s > 16)
+        out[i] = (np.where(bad, 16, l) << 16) | (np.where(bad, -1, s) & 0xFFFF)
+    return out
+
+
+@functools.cache
+def _jit_prefix_index(nbits: int, seq: tuple, n_mcu: int):
+    """Jitted parallel-prefix index program.
+
+    nbits: padded stream length in bits (power-of-two bucketed).
+    seq: per-MCU block sequence of (dc_slot, ac_slot) pairs (static).
+    Returns (ac_off (B,), dc_abs (B,) int32, end_pos (), err ()) with blocks
+    ordered component-major (all blocks of seq-position class grouped by the
+    caller)."""
+    classes = sorted(set(seq))
+    class_of = {c: i for i, c in enumerate(classes)}
+    levels = 6  # 2^5 = 32 >= max symbols any descent step needs
+    mcu_levels = max(1, (n_mcu - 1).bit_length())
+
+    def program(bytes_u8, dc_luts, ac_luts):
+        # --- 16-bit window at every bit position (elementwise, no gathers) --
+        b = bytes_u8.astype(jnp.uint32)
+        b1 = jnp.concatenate([b[1:], jnp.zeros((1,), jnp.uint32)])
+        b2 = jnp.concatenate([b[2:], jnp.zeros((2,), jnp.uint32)])
+        w24 = (b << 16) | (b1 << 8) | b2
+        r = jnp.arange(8, dtype=jnp.uint32)[None, :]
+        w16 = ((w24[:, None] >> (8 - r)) & 0xFFFF).reshape(-1)  # (nbits,)
+        pidx = jnp.arange(nbits, dtype=jnp.int32)
+
+        def clipg(tab, idx):
+            return tab[jnp.clip(idx, 0, nbits - 1)]
+
+        # --- per-class single-symbol AC tables -----------------------------
+        fb_pos, fb_err = [], []
+        for dc_slot, ac_slot in classes:
+            packed = ac_luts[ac_slot, w16]
+            sym = jnp.maximum((packed << 16) >> 16, -1)
+            invalid = sym < 0
+            symv = jnp.maximum(sym, 0)
+            ln = packed >> 16
+            size = symv & 15
+            adv0 = jnp.where(invalid, 16, ln + size).astype(jnp.int32)
+            eob = (symv == 0) & ~invalid
+            zrl = symv == 0xF0
+            kinc0 = jnp.where(
+                eob | invalid, 0, jnp.where(zrl, 16, (symv >> 4) + 1)
+            ).astype(jnp.int32)
+            term0 = eob
+            err0 = invalid
+
+            # --- pointer-double AC symbols into 2^j jump tables ------------
+            advs, kincs, terms, errs = [adv0], [kinc0], [term0], [err0]
+            for _ in range(1, levels):
+                a, k, t, e = advs[-1], kincs[-1], terms[-1], errs[-1]
+                nxt = pidx + a
+                advs.append(a + clipg(a, nxt))
+                kincs.append(k + jnp.where(t, 0, clipg(k, nxt)))
+                terms.append(t | clipg(t, nxt))
+                errs.append(e | clipg(e, nxt))
+
+            # --- DC single step for every position -------------------------
+            dpacked = dc_luts[dc_slot, w16]
+            dsym = (dpacked << 16) >> 16
+            dinvalid = dsym < 0
+            dsize = jnp.clip(dsym, 0, 16)
+            dln = dpacked >> 16
+            dc_adv = jnp.where(dinvalid, 16, dln + dsize).astype(jnp.int32)
+
+            # --- block-end for every position: binary descent --------------
+            p = jnp.clip(pidx + dc_adv, 0, nbits - 1)
+            err = dinvalid
+            k = jnp.ones((nbits,), jnp.int32)
+            for j in range(levels - 1, -1, -1):
+                t = terms[j][p]
+                kj = kincs[j][p]
+                aj = advs[j][p]
+                ej = errs[j][p]
+                ok = (~t) & (k + kj <= 63)
+                p = jnp.where(ok, jnp.clip(p + aj, 0, nbits - 1), p)
+                k = jnp.where(ok, k + kj, k)
+                err = err | (ok & ej)
+            # exactly one closing symbol (EOB, or the k>=64 crossing)
+            err = err | errs[0][p]
+            kfin = k + kincs[0][p]
+            err = err | (~terms[0][p] & (kfin > 64))
+            p = p + advs[0][p]
+            fb_pos.append(p.astype(jnp.int32))
+            fb_err.append(err)
+
+        fb_pos = jnp.stack(fb_pos)
+        fb_err = jnp.stack(fb_err)
+
+        # --- one-MCU advance for every position ----------------------------
+        cur = pidx
+        merr = jnp.zeros((nbits,), bool)
+        for pair in seq:
+            ci = class_of[pair]
+            merr = merr | fb_err[ci][jnp.clip(cur, 0, nbits - 1)]
+            cur = fb_pos[ci][jnp.clip(cur, 0, nbits - 1)]
+        mcu_pos0, mcu_err0 = cur, merr
+
+        # --- pointer-double MCUs, then read off every MCU start ------------
+        jumps = [mcu_pos0]
+        for _ in range(1, mcu_levels):
+            a = jumps[-1]
+            jumps.append(clipg(a, a))
+        m = jnp.arange(n_mcu, dtype=jnp.int32)
+        starts = jnp.zeros((n_mcu,), jnp.int32)
+        for j in range(mcu_levels):
+            take = (m >> j) & 1
+            starts = jnp.where(
+                take == 1, jumps[j][jnp.clip(starts, 0, nbits - 1)], starts
+            )
+        err_any = jnp.any(mcu_err0[jnp.clip(starts, 0, nbits - 1)])
+        end_pos = mcu_pos0[jnp.clip(starts[-1], 0, nbits - 1)]
+
+        # --- replay each MCU's blocks at n_mcu scale -----------------------
+        w16c = w16  # alias
+        cur = starts
+        ac_offs, diffs, comps_of = [], [], []
+        for bi, (dc_slot, ac_slot) in enumerate(seq):
+            cc = jnp.clip(cur, 0, nbits - 1)
+            dpacked = dc_luts[dc_slot, w16c[cc]]
+            dsym = (dpacked << 16) >> 16
+            dsize = jnp.clip(dsym, 0, 16)
+            dln = dpacked >> 16
+            ampw = w16c[jnp.clip(cur + dln, 0, nbits - 1)]
+            amp = (ampw >> jnp.clip(16 - dsize, 0, 16)).astype(jnp.int32)
+            diffs.append(_extend(amp, dsize))
+            ac_offs.append((cur + dln + dsize).astype(jnp.int32))
+            ci = class_of[(dc_slot, ac_slot)]
+            cur = fb_pos[ci][cc]
+        ac_off = jnp.stack(ac_offs, axis=1)   # (n_mcu, bpm)
+        diff = jnp.stack(diffs, axis=1)
+        return ac_off, diff, end_pos, err_any
+
+    return jax.jit(program)
+
+
+def decode_scan_prefix(
+    scan: bytes,
+    mcu_count: int,
+    mcu_layout: list,
+    htables: dict,
+):
+    """Restart-free fully-on-device decode: parallel-prefix index + parallel
+    AC kernel. Same output contract as decode_scan_indexed (device arrays,
+    component-major)."""
+    unstuffed = decode_np.unstuff(scan).astype(np.uint8)
+    true_bits = len(unstuffed) * 8
+    nbytes = 1 << max(8, int(len(unstuffed) + _GUARD).bit_length())
+    buf = np.zeros(nbytes, dtype=np.uint8)
+    buf[: len(unstuffed)] = unstuffed
+
+    seq = []
+    for (_comp, bpm, dc, ac) in mcu_layout:
+        seq.extend([(dc, ac)] * bpm)
+    seq = tuple(seq)
+    dc_slots = tuple(sorted({(0, dc) for (dc, _ac) in seq}))
+    ac_slots = tuple(sorted({(1, ac) for (_dc, ac) in seq}))
+    dc_of = {k[1]: i for i, k in enumerate(dc_slots)}
+    ac_of = {k[1]: i for i, k in enumerate(ac_slots)}
+    seq_idx = tuple((dc_of[dc], ac_of[ac]) for (dc, ac) in seq)
+
+    lut_key = tuple(
+        (key, htables[key].size.tobytes(), htables[key].code.tobytes())
+        for key in ac_slots
+    )
+    ac_luts = _cached_ac_luts(lut_key, htables, ac_slots)
+    dc_luts = jnp.asarray(_packed_dc_luts(htables, dc_slots))
+
+    fn = _jit_prefix_index(nbytes * 8, seq_idx, mcu_count)
+    ac_off, diff, end_pos, err = fn(jnp.asarray(buf), dc_luts, ac_luts)
+    if bool(np.asarray(err)):
+        raise ScanDecodeError("invalid Huffman code (device prefix index)")
+    if int(np.asarray(end_pos)) > true_bits:
+        raise ScanDecodeError("bit cursor ran past segment end")
+
+    # Component-major ordering (the _decode_ac_indexed contract): all blocks
+    # of component 0 in scan order, then component 1, ...
+    off_parts, dc_parts, slot_parts = [], [], []
+    base = 0
+    for (_comp, bpm, _dc, ac) in mcu_layout:
+        sl = seq[base:base + bpm]
+        off_parts.append(ac_off[:, base:base + bpm].reshape(-1))
+        d = diff[:, base:base + bpm].reshape(-1)
+        dc_parts.append(jnp.cumsum(d).astype(jnp.int32))
+        slot_parts.append(
+            jnp.full((mcu_count * bpm,), ac_of[ac], dtype=jnp.int32))
+        base += bpm
+    off = jnp.concatenate(off_parts)
+    dc = jnp.concatenate(dc_parts)
+    slot = jnp.concatenate(slot_parts)
+
+    words = jnp.asarray(buf.view(">u4").astype(np.uint32))
+    rows = _indexed_jit(words, off, dc, slot, ac_luts)
+    out, b0 = [], 0
+    for (_comp, bpm, _, _) in mcu_layout:
+        out.append(rows[b0: b0 + bpm * mcu_count])
+        b0 += bpm * mcu_count
+    return out
+
+
 def decode_scan(
     scan: bytes,
     mcu_count: int,
@@ -322,7 +550,11 @@ def decode_scan(
     htables: dict,
     restart_interval: int,
 ) -> list[np.ndarray]:
-    """Device twin of decode_np.decode_scan (same contract, tables not LUTs)."""
+    """Device twin of decode_np.decode_scan (same contract, tables not LUTs).
+
+    Restart-free streams route through the parallel-prefix pointer-doubling
+    index (decode_scan_prefix) — fully on device, no serial bit chain; multi-
+    segment streams use the vmapped per-segment sequential program."""
     segments = decode_np.split_restart_segments(scan)
     r = restart_interval if restart_interval else mcu_count
     expected = (mcu_count + r - 1) // r
@@ -330,6 +562,8 @@ def decode_scan(
         raise ScanDecodeError(
             f"expected {expected} restart segments, found {len(segments)}"
         )
+    if expected == 1 and mcu_count > 1:
+        return decode_scan_prefix(scan, mcu_count, mcu_layout, htables)
 
     slots = sorted({(0, dc) for (_, _, dc, _) in mcu_layout}
                    | {(1, ac) for (_, _, _, ac) in mcu_layout})
