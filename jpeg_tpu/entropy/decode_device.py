@@ -168,21 +168,56 @@ def _jit_segments(layout_key: tuple, max_mcu: int, nbytes: int):
 # ---------------------------------------------------------------------------
 
 
-def _decode_ac_indexed(words, off, dc, slot, packed_luts):
+# Local tile width: 64 words = 2048 bits covers any block (at most 64 symbols
+# of <= 31 bits each = 1984 bits, plus up to 31 bits of start skew).
+_TILE_W = 64
+
+
+def _decode_ac_indexed(words, off, dc, slot, maxcode, mincode, valptr,
+                       huffval):
     """words: (W,) uint32 big-endian destuffed scan; off: (B,) post-DC bit
-    offsets; dc: (B,) absolute DC; slot: (B,) AC LUT row; packed_luts:
-    (nslots, 65536) int32 with (len << 16) | (sym & 0xFFFF) per 16-bit peek
-    window — ONE gather resolves both fields (TPU gathers serialize, so the
-    loop's gather count is the decode's critical path). -> (B, 64) int32
-    zig-zag blocks."""
+    offsets; dc: (B,) absolute DC; slot: (B,) AC table row;
+    maxcode/mincode/valptr: (nslots, 17) f32 canonical-code tables (T.81
+    F.16 DECODE); huffval: (256, nslots) f32 symbol values in canonical
+    order. -> (B, 64) int32 zig-zag blocks.
+
+    GATHER-FREE inner loop (round 3): the previous kernel's per-iteration
+    pairs[pos>>5] row gather and 64K-LUT gather ran at TPU's serializing
+    small-gather throughput and measured 227 ms on a 4K stream
+    (tools/tpu_probe7c.py). Here each block pre-gathers its 64-word tile ONCE
+    (one large fast gather); the loop then selects its window by one-hot over
+    tile lanes, resolves the code length with 16 canonical maxcode compares
+    (no LUT), and maps the canonical index to the symbol with a one-hot MXU
+    dot — every per-iteration op is elementwise or a matmul. Assumes the
+    stream was already validated (by the host index pass or the prefix
+    index); unassigned windows terminate the block like the old LUT's
+    invalid->EOB mapping."""
     B = off.shape[0]
+    HI = jax.lax.Precision.HIGHEST
     rows0 = jnp.zeros((B, 64), jnp.int32).at[:, 0].set(dc)
     kcol = jnp.arange(64, dtype=jnp.int32)[None, :]
-    # Adjacent word pairs, so the loop fetches both window words with a
-    # single row gather instead of two scalar gathers.
-    pairs = jnp.stack(
-        [words, jnp.concatenate([words[1:], words[:1]])], axis=1
-    )
+
+    base = off >> 5  # first word of each block's tile
+    nw = words.shape[0]
+    tidx = jnp.clip(base[:, None] + jnp.arange(_TILE_W, dtype=jnp.int32), 0,
+                    nw - 1)
+    tile = words[tidx]  # (B, _TILE_W) uint32 — one large gather, outside loop
+
+    # Per-block canonical tables resolved once via exact one-hot dots
+    # (values <= 65535 are f32-exact; HIGHEST keeps the products exact).
+    nslots = maxcode.shape[0]
+    oh_slot = jax.nn.one_hot(slot, nslots, dtype=jnp.float32)
+
+    def sel(tab):
+        return jax.lax.dot_general(
+            oh_slot, tab, (((1,), (0,)), ((), ())),
+            precision=HI, preferred_element_type=jnp.float32)
+
+    mc = sel(maxcode).astype(jnp.int32)   # (B, 17); -1 where no codes
+    mn = sel(mincode).astype(jnp.int32)
+    vp = sel(valptr).astype(jnp.int32)
+    lane = jnp.arange(_TILE_W, dtype=jnp.int32)[None, :]
+    l_iota = jnp.arange(1, 17, dtype=jnp.int32)[None, :]  # lengths 1..16
 
     def cond(st):
         k = st[0]
@@ -190,20 +225,37 @@ def _decode_ac_indexed(words, off, dc, slot, packed_luts):
 
     def body(st):
         k, pos, rows = st
-        wp = pairs[pos >> 5]
-        w0, w1 = wp[:, 0], wp[:, 1]
+        rel = (pos >> 5) - base
+        w0 = jnp.sum(jnp.where(lane == rel[:, None], tile, jnp.uint32(0)),
+                     axis=1, dtype=jnp.uint32)
+        w1 = jnp.sum(jnp.where(lane == rel[:, None] + 1, tile, jnp.uint32(0)),
+                     axis=1, dtype=jnp.uint32)
         sh = (pos & 31).astype(jnp.uint32)
         win = jnp.where(
             sh == 0, w0, (w0 << sh) | (w1 >> ((jnp.uint32(32) - sh) & 31))
         )
         top = (win >> 16).astype(jnp.int32)
-        packed = packed_luts[slot, top]
-        # Sign-extend the low half: invalid windows carry sym = -1.
-        sym = jnp.maximum((packed << 16) >> 16, 0)
-        ln = packed >> 16
+
+        # Canonical code length: smallest l with top's l-bit prefix <= maxcode.
+        cl = top[:, None] >> (16 - l_iota)
+        valid = (mc[:, 1:] >= 0) & (cl <= mc[:, 1:])
+        any_valid = jnp.any(valid, axis=1)
+        L = jnp.where(any_valid, 1 + jnp.argmax(valid, axis=1), 16)
+        lsel = l_iota == L[:, None]
+        cL = top >> (16 - L)
+        idx = jnp.sum(jnp.where(lsel, vp[:, 1:] + cL[:, None] - mn[:, 1:], 0),
+                      axis=1)
+        oh_idx = jax.nn.one_hot(jnp.clip(idx, 0, 255), 256,
+                                dtype=jnp.bfloat16)
+        sym = jax.lax.dot_general(
+            oh_idx, huffval.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sym = jnp.sum(sym * oh_slot, axis=1).astype(jnp.int32)
+        sym = jnp.where(any_valid, sym, 0)  # unassigned window -> EOB
+
         run, size = sym >> 4, sym & 15
-        # code + amplitude both fit the 32-bit window (16 + 10 <= 32).
-        shift = (32 - ln - size).astype(jnp.uint32)
+        # code + amplitude both fit the 32-bit window (16 + 15 <= 32).
+        shift = (32 - L - size).astype(jnp.uint32)
         amp = ((win >> shift) & ((jnp.uint32(1) << size.astype(jnp.uint32)) - 1)
                ).astype(jnp.int32)
         val = _extend(amp, size)
@@ -215,7 +267,7 @@ def _decode_ac_indexed(words, off, dc, slot, packed_luts):
         rows = rows + jnp.where(
             emit[:, None] & (kcol == kw[:, None]), val[:, None], 0
         )
-        pos = jnp.where(active, pos + ln + size, pos)
+        pos = jnp.where(active, pos + L + size, pos)
         k = jnp.where(
             active,
             jnp.where(is_eob, 64, jnp.where(is_zrl, k + 16, kw + 1)),
@@ -229,6 +281,45 @@ def _decode_ac_indexed(words, off, dc, slot, packed_luts):
 
 
 _indexed_jit = jax.jit(_decode_ac_indexed)
+
+
+def _canonical_tables(htables: dict, slots: tuple):
+    """(maxcode, mincode, valptr) (nslots, 17) f32 + huffval (256, nslots)
+    f32 — T.81 F.16 DECODE tables for the gather-free AC kernel."""
+    n = len(slots)
+    maxcode = np.full((n, 17), -1.0, dtype=np.float32)
+    mincode = np.zeros((n, 17), dtype=np.float32)
+    valptr = np.zeros((n, 17), dtype=np.float32)
+    huffval = np.zeros((256, n), dtype=np.float32)
+    for i, key in enumerate(slots):
+        t = htables[key]
+        huffval[: len(t.vals), i] = np.asarray(t.vals, dtype=np.float32)
+        code = 0
+        k = 0
+        for l in range(1, 17):
+            cnt = int(t.bits[l - 1])
+            if cnt:
+                valptr[i, l] = k
+                mincode[i, l] = code
+                code += cnt
+                k += cnt
+                maxcode[i, l] = code - 1
+            code <<= 1
+    return maxcode, mincode, valptr, huffval
+
+
+_CANON_CACHE: dict = {}
+
+
+def _cached_canonical(lut_key, htables, slots):
+    hit = _CANON_CACHE.get(lut_key)
+    if hit is not None:
+        return hit
+    out = tuple(jnp.asarray(a) for a in _canonical_tables(htables, slots))
+    if len(_CANON_CACHE) >= 16:
+        _CANON_CACHE.clear()
+    _CANON_CACHE[lut_key] = out
+    return out
 
 # Device-resident caches: AC LUTs (1 MB per table set) and per-geometry slot
 # arrays are re-used across decodes instead of re-uploaded over the host link.
@@ -292,7 +383,7 @@ def decode_scan_indexed(
         (key, htables[key].size.tobytes(), htables[key].code.tobytes())
         for key in ac_slots
     )
-    packed_dev = _cached_ac_luts(lut_key, htables, tuple(ac_slots))
+    canon = _cached_canonical(lut_key, htables, tuple(ac_slots))
     slot_dev = _cached_slot_array(
         tuple((bpm, slot_of[(1, ac)]) for (_, bpm, _, ac) in mcu_layout),
         mcu_count,
@@ -306,7 +397,7 @@ def decode_scan_indexed(
 
     rows = _indexed_jit(
         jnp.asarray(words), jnp.asarray(ac_off), jnp.asarray(dc),
-        slot_dev, packed_dev,
+        slot_dev, *canon,
     )
     out, base = [], 0
     for (_comp, bpm, _, _) in mcu_layout:
@@ -509,6 +600,7 @@ def decode_scan_prefix(
         for key in ac_slots
     )
     ac_luts = _cached_ac_luts(lut_key, htables, ac_slots)
+    canon = _cached_canonical(lut_key, htables, ac_slots)
     dc_luts = jnp.asarray(_packed_dc_luts(htables, dc_slots))
 
     fn = _jit_prefix_index(nbytes * 8, seq_idx, mcu_count)
@@ -535,7 +627,7 @@ def decode_scan_prefix(
     slot = jnp.concatenate(slot_parts)
 
     words = jnp.asarray(buf.view(">u4").astype(np.uint32))
-    rows = _indexed_jit(words, off, dc, slot, ac_luts)
+    rows = _indexed_jit(words, off, dc, slot, *canon)
     out, b0 = [], 0
     for (_comp, bpm, _, _) in mcu_layout:
         out.append(rows[b0: b0 + bpm * mcu_count])
