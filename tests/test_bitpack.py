@@ -127,6 +127,37 @@ def test_gray_device_pack_optimized_tables_matches_host(tiger, restart):
     assert decode(a).shape == g.shape
 
 
+def test_batched_packed_program_matches_single(tiger):
+    """The K-image vmapped device program (encoder._jit_color_packed_batch)
+    must produce, per image, exactly the single-image program's words/totals
+    (the dispatch-amortization path of VERDICT r2 item 2)."""
+    import jax
+
+    from jpeg_tpu.config import Subsampling
+    from jpeg_tpu.models import encoder as E
+    from jpeg_tpu.ops import quant, tile
+
+    mode = Subsampling.YUV420
+    imgs = np.stack([tiger, tiger[:, :, ::-1], 255 - tiger])
+    imgs = np.asarray(
+        tile.pad_to_multiple(jnp.asarray(imgs).transpose(1, 2, 3, 0),
+                             mode.mcu_height, mode.mcu_width)
+    ).transpose(3, 0, 1, 2)
+    qy = jnp.asarray(quant.luma_table(75))
+    qc = jnp.asarray(quant.chroma_table(75))
+    luts = tuple(jnp.asarray(a)
+                 for a in bitpack.luts_from_tables(huffman.standard_tables()))
+    single = E._jit_color_packed(mode, 0)
+    batched = E._jit_color_packed_batch(mode, 0)
+    wb, tb, okb = jax.block_until_ready(
+        batched(jnp.asarray(imgs), qy, qc, *luts))
+    for i in range(imgs.shape[0]):
+        ws, ts, oks = single(jnp.asarray(imgs[i]), qy, qc, *luts)
+        assert bool(np.asarray(okb[i]).all()) == bool(np.asarray(oks).all())
+        np.testing.assert_array_equal(np.asarray(tb[i]), np.asarray(ts))
+        np.testing.assert_array_equal(np.asarray(wb[i]), np.asarray(ws))
+
+
 def test_device_pack_overflow_falls_back_end_to_end(rng):
     """A q=100 noise image overflows the per-block device cap; encode must
     transparently repack on the host and still match the host path."""
