@@ -72,7 +72,14 @@ def _reconstruct_plane(zz, qtab, blocks_shape, use_pallas: bool = False,
             jnp.float32)
         flat = dct.idct_zigzag_blocks(zz.reshape(-1, 64).astype(jnp.float32) * qz)
         plane = tile.plane_from_scan_blocks(flat, hb, wb) + 128.0
-    return jnp.clip(plane, 0.0, 255.0)
+    # Integer samples, libjpeg range_limit semantics: libjpeg's IDCT emits
+    # 8-bit samples BEFORE upsampling/color, so rounding here is the parity
+    # point — and it makes every downstream op exact in f32 (triangle weights
+    # are quarters of integers, the color matmul sees identical integer
+    # inputs), which keeps sharded/batched finishing bit-identical to
+    # single-device regardless of XLA fusion choices (a fused recompute once
+    # flipped a 127.49998-vs-127.50000 pixel in the 4:1:1 sharded test).
+    return jnp.clip(jnp.round(plane), 0.0, 255.0)
 
 
 def _finish_color(y_zz, cb_zz, cr_zz, qy, qcb, qcr, shapes, factors,

