@@ -63,21 +63,21 @@ def _transform_color(rgb, qy, qc, mode: Subsampling, use_pallas: bool = False):
     """uint8 (H, W, 3), H/W already MCU-aligned -> (y_zz, cb_zz, cr_zz) in
     raster block order per component.
 
-    use_pallas routes the level-shift+DCT+quantize through the fused Pallas
-    kernel (ops/fused.py). Outputs may differ from the XLA path by ±1 at exact
-    rounding boundaries (different f32 accumulation order) — both are valid
-    encoders; the XLA path is the byte-stable default.
+    The default path is the mega-conv (ops/mcu_conv): color, level shift,
+    subsampling, DCT and zig-zag as ONE stride-MCU convolution — the same
+    math as the packed program, so host- and device-packed encodes stay
+    byte-identical. use_pallas routes the level-shift+DCT+quantize through
+    the fused Pallas kernel (ops/fused.py) instead; its outputs may differ
+    from the conv path by ±1 at exact rounding boundaries (different f32
+    accumulation order) — both are valid encoders.
     """
-    y, cb, cr = color.rgb_to_ycbcr_planes(rgb)
-    # Level shift: all components move to [-128, 127] before the DCT
-    # (T.81 A.3.1).
-    y = y - 128.0
-    cb = subsample.downsample_plane(cb - 128.0, mode)
-    cr = subsample.downsample_plane(cr - 128.0, mode)
-
     if use_pallas:
         from jpeg_tpu.ops import fused
 
+        y, cb, cr = color.rgb_to_ycbcr_planes(rgb)
+        y = y - 128.0
+        cb = subsample.downsample_plane(cb - 128.0, mode)
+        cr = subsample.downsample_plane(cr - 128.0, mode)
         interp = jax.default_backend() == "cpu"  # Mosaic kernels need a TPU
 
         def plane_to_zz(plane, qtab):
@@ -87,7 +87,17 @@ def _transform_color(rgb, qy, qc, mode: Subsampling, use_pallas: bool = False):
 
         return plane_to_zz(y, qy), plane_to_zz(cb, qc), plane_to_zz(cr, qc)
 
-    return _plane_zz(y, qy), _plane_zz(cb, qc), _plane_zz(cr, qc)
+    from jpeg_tpu.ops import mcu_conv
+
+    hf, vf = mode.h_factor, mode.v_factor
+    hv = hf * vf
+    R = rgb.shape[0] // mode.mcu_height
+    C = rgb.shape[1] // mode.mcu_width
+    blocks = mcu_conv.mcu_transform(rgb, qy, qc, mode)  # (n_mcu, hv+2, 64)
+    # Luma: MCU scan order -> plane raster order (one transpose).
+    y_zz = blocks[:, :hv].reshape(R, C, vf, hf, 64).transpose(
+        0, 2, 1, 3, 4).reshape(-1, 64)
+    return y_zz, blocks[:, hv], blocks[:, hv + 1]
 
 
 def _transform_gray(plane, qy):
@@ -118,22 +128,17 @@ WORDS_PER_BLOCK = 8
 
 def _scan_components(rgb, qy, qc, mode: Subsampling, restart_mcus: int):
     """Pixels -> (y_scan, cb_zz, cr_zz, n_mcu, hv): per-component quantized
-    zig-zag blocks with luma already in MCU scan order (direct from the
-    blocks_scan_order transpose — no permutation gather) and DC DPCM'd with
-    restart resets."""
-    hf, vf = mode.h_factor, mode.v_factor
-    hv = hf * vf
-    h, w = rgb.shape[0], rgb.shape[1]
-    n_mcu = (h // mode.mcu_height) * (w // mode.mcu_width)
+    zig-zag blocks straight out of the mega-conv (ops/mcu_conv) — already in
+    MCU scan order, no transposes or gathers — with DC DPCM'd with restart
+    resets."""
+    from jpeg_tpu.ops import mcu_conv
 
-    y, cb, cr = color.rgb_to_ycbcr_planes(rgb)
-    y = y - 128.0
-    cb = subsample.downsample_plane(cb - 128.0, mode)
-    cr = subsample.downsample_plane(cr - 128.0, mode)
-
-    y_scan = _plane_zz(y, qy, vf, hf)
-    cb_zz = _plane_zz(cb, qc)
-    cr_zz = _plane_zz(cr, qc)
+    hv = mode.h_factor * mode.v_factor
+    blocks = mcu_conv.mcu_transform(rgb, qy, qc, mode)  # (n_mcu, hv+2, 64)
+    n_mcu = blocks.shape[0]
+    y_scan = blocks[:, :hv].reshape(-1, 64)
+    cb_zz = blocks[:, hv]
+    cr_zz = blocks[:, hv + 1]
 
     r = int(restart_mcus)
     y_scan = y_scan.at[:, 0].set(dpcm_ops.dpcm(y_scan[:, 0], r * hv))
@@ -165,7 +170,14 @@ def _interleaved_blocks(rgb, qy, qc, mode: Subsampling, restart_mcus: int):
 def _transform_color_packed(
     rgb, qy, qc, dc_code, dc_len, ac_code, ac_len, *,
     mode: Subsampling, restart_mcus: int, pallas_pack: bool = False,
+    group: str = "mcu",
 ):
+    """group: level-1/2 granularity of the packer — "mcu" (default: one
+    group per MCU, ~4x fewer level-2 scatter updates, per-group budget
+    bpm*128 bits) or "block" (one group per 8x8 block, budget 288 bits —
+    survives busier content). The encoder tries mcu, retries block on
+    overflow, then falls back to the host packer; all three emit identical
+    bytes when they fit."""
     blocks, tbl, n_mcu, hv = _interleaved_blocks(
         rgb, qy, qc, mode, restart_mcus)
     r = int(restart_mcus)
@@ -193,26 +205,34 @@ def _transform_color_packed(
     bits, nbits = bitpack.build_bitfields(
         blocks, tbl, dc_code, dc_len, ac_code, ac_len
     )
+    if group == "mcu":
+        fields = bpm * 191
+        bw = bpm * 4  # 128 bits per block on average within the MCU budget
+        bits = bits.reshape(-1, fields)
+        nbits = nbits.reshape(-1, fields)
+    else:
+        fields, bw = 191, bitpack.BLOCK_WORDS
     if r == 0 or r >= n_mcu:
         nwords = nblocks * WORDS_PER_BLOCK + 2
-        words, total, ok = bitpack.pack_bits(bits, nbits, nwords)
+        words, total, ok = bitpack.pack_bits(bits, nbits, nwords, bw)
         return words[None], total[None], ok[None]
     # Equal restart segments (caller guarantees n_mcu % r == 0).
     nseg = n_mcu // r
     seg_blocks = r * bpm
     nwords = seg_blocks * WORDS_PER_BLOCK + 2
-    bits = bits.reshape(nseg, seg_blocks, 191)
-    nbits = nbits.reshape(nseg, seg_blocks, 191)
-    return jax.vmap(lambda b, n: bitpack.pack_bits(b, n, nwords))(bits, nbits)
+    bits = bits.reshape(nseg, -1, fields)
+    nbits = nbits.reshape(nseg, -1, fields)
+    return jax.vmap(
+        lambda b, n: bitpack.pack_bits(b, n, nwords, bw))(bits, nbits)
 
 
 @functools.cache
 def _jit_color_packed(mode: Subsampling, restart_mcus: int,
-                      pallas_pack: bool = False):
+                      pallas_pack: bool = False, group: str = "mcu"):
     return jax.jit(
         functools.partial(
             _transform_color_packed, mode=mode, restart_mcus=restart_mcus,
-            pallas_pack=pallas_pack,
+            pallas_pack=pallas_pack, group=group,
         )
     )
 
@@ -468,6 +488,12 @@ def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
         words, totals, ok = _jit_color_packed(mode, r, use_pallas_pack)(
             img, qy, qc, *luts
         )
+        if not bool(np.asarray(ok).all()) and not use_pallas_pack:
+            # An MCU overflowed the mcu-group budget: retry with the
+            # narrower-budget block grouping before giving up on the device
+            # (identical bytes, just a different level-1/2 granularity).
+            words, totals, ok = _jit_color_packed(
+                mode, r, False, "block")(img, qy, qc, *luts)
         totals_np = np.asarray(totals)
         if not bool(np.asarray(ok).all()):
             scan = None  # a block or segment overflowed the device caps: host pack

@@ -179,9 +179,15 @@ def _field_split(bits, nbits, starts):
     return hi, lo
 
 
-def pack_bits(bits, nbits, nwords: int):
-    """Assemble (B, R) per-block <=32-bit fields into an (nwords,) uint32
+def pack_bits(bits, nbits, nwords: int, block_words: int = BLOCK_WORDS):
+    """Assemble (B, R) per-group <=32-bit fields into an (nwords,) uint32
     big-endian word stream. Returns (words, total_bits, ok).
+
+    A "group" is whatever the caller reshaped a row to be: one 8x8 block
+    (R = 191, block_words = 9) or one whole MCU (R = bpm*191, block_words
+    sized for the MCU budget). Grouping by MCU cuts level 2's scatter count
+    ~4x — TPU scatters run at ~120M updates/s and dominated pack_ms
+    (tools/tpu_probe7c.py) — at the cost of a wider level-1 reduce.
 
     Two-level, scatter-light design (TPU scatter runs ~100M updates/s, far too
     slow for the ~37M raw fields of a 4K image; a searchsorted segment-sum is
@@ -201,15 +207,15 @@ def pack_bits(bits, nbits, nwords: int):
     nbits = nbits.astype(jnp.int32)
     nblocks = bits.shape[0]
 
-    # Within-block field offsets and block totals.
+    # Within-group field offsets and group totals.
     starts = jnp.cumsum(nbits, axis=1) - nbits
-    t_b = starts[:, -1] + nbits[:, -1]  # (B,) bits per block
+    t_b = starts[:, -1] + nbits[:, -1]  # (B,) bits per group
 
     hi, lo = _field_split(bits, nbits, starts)
-    w_r = jnp.clip(starts >> 5, 0, BLOCK_WORDS - 1)  # (B, R) word-in-block
+    w_r = jnp.clip(starts >> 5, 0, block_words - 1)  # (B, R) word-in-group
 
-    # Level 1: one-hot masked reduce into per-block buffers (B, BLOCK_WORDS+1).
-    wg = jnp.arange(BLOCK_WORDS + 1, dtype=jnp.int32)[None, None, :]
+    # Level 1: one-hot masked reduce into per-group buffers (B, block_words+1).
+    wg = jnp.arange(block_words + 1, dtype=jnp.int32)[None, None, :]
     buf = jnp.sum(
         jnp.where(w_r[:, :, None] == wg, hi[:, :, None], jnp.uint32(0))
         + jnp.where((w_r + 1)[:, :, None] == wg, lo[:, :, None], jnp.uint32(0)),
@@ -253,7 +259,7 @@ def pack_bits(bits, nbits, nwords: int):
         )
     words = jax.lax.bitcast_convert_type(words, jnp.uint32)
 
-    ok = (jnp.max(t_b) <= BLOCK_WORDS * 32) & (total <= nwords * 32)
+    ok = (jnp.max(t_b) <= block_words * 32) & (total <= nwords * 32)
     return words, total, ok
 
 

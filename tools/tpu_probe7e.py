@@ -136,7 +136,7 @@ def main():
 
     # correctness vs the current path (weight-fusion rounding may flip ties)
     f_blocks = jax.jit(lambda im: E._interleaved_blocks(im, qy, qc, mode, 0)[0])
-    cur = np.asarray(f_blocks(dev_img)).reshape(n_mcu, 6, 64)
+    cur = np.asarray(f_blocks(dev_img)).reshape(n_mcu, 6, 64).copy()
     # undo dpcm on DC for comparison
     for comp_cols in ([0, 1, 2, 3], [4], [5]):
         dcs = cur[:, comp_cols, 0].reshape(-1)
