@@ -61,6 +61,14 @@ def _reconstruct_plane(zz, qtab, blocks_shape, use_pallas: bool = False,
         plane = fused.fused_dequant_idct(
             tile.unblockify(blocks), qtab, interpret=interp
         )
+    elif jax.default_backend() == "cpu":
+        # Separable IDCT on CPU: the fused (64, 64) matmul costs 8x the
+        # FLOPs, which only the MXU's idle capacity absorbs (same tradeoff
+        # as ops/mcu_conv). Platform-local: the sharded finisher
+        # (parallel/shard._stripe_decode) branches identically.
+        blocks = zigzag.from_zigzag(zz.reshape(hb, wb, 64))
+        coeff = quant.dequantize(blocks, qtab)
+        plane = tile.unblockify(dct.idct_blocks(coeff)) + 128.0
     else:
         # De-zigzag + dequantize + IDCT as ONE (64, 64) MXU contraction: the
         # zig-zag permutation is folded into the matrix rows and the quant

@@ -86,10 +86,44 @@ def zigzag_qdiv(qy, qc, hv: int):
     return jnp.concatenate([jnp.tile(qzy, hv), qzc, qzc])
 
 
+def _mcu_transform_staged(rgb, qy, qc, mode: Subsampling):
+    """CPU form of mcu_transform: elementwise color + box downsample +
+    per-plane (64, 64) zig-zag-DCT matmuls. Same output contract; ~10x fewer
+    FLOPs than the fused conv, which only pays off on the MXU's idle FLOPs
+    (conv: 14 ms TPU / 429 ms CPU; staged: ~31 ms TPU / ~110 ms CPU).
+    Platform-local byte stability: every encode path on a given backend
+    routes through the same branch."""
+    from jpeg_tpu import tables
+    from jpeg_tpu.ops import color, dct, quant, subsample, tile
+
+    hf, vf = mode.h_factor, mode.v_factor
+    hv = hf * vf
+    n_mcu = (rgb.shape[0] // mode.mcu_height) * (rgb.shape[1] // mode.mcu_width)
+    y, cb, cr = color.rgb_to_ycbcr_planes(rgb)
+    y = y - 128.0
+    cb = subsample.downsample_plane(cb - 128.0, mode)
+    cr = subsample.downsample_plane(cr - 128.0, mode)
+    order = jnp.asarray(tables.ZIGZAG_ORDER)
+
+    def pz(p, qtab, v=1, hh=1):
+        qz = qtab.reshape(64)[order].astype(jnp.float32)
+        flat = tile.blocks_scan_order(p, v, hh)
+        zzc = dct.fdct_zigzag_blocks(flat)
+        return quant.round_half_away(zzc / qz).astype(jnp.int32)
+
+    y_scan = pz(y, qy, vf, hf).reshape(n_mcu, hv, 64)
+    cb_zz = pz(cb, qc)
+    cr_zz = pz(cr, qc)
+    return jnp.concatenate([y_scan, cb_zz[:, None], cr_zz[:, None]], axis=1)
+
+
 def mcu_transform(rgb, qy, qc, mode: Subsampling):
     """uint8 (H, W, 3), MCU-aligned -> (n_mcu, hv+2, 64) int32 quantized
     zig-zag blocks, MCU-interleaved in scan order (DC not yet DPCM'd)."""
     from jpeg_tpu.ops import quant
+
+    if jax.default_backend() == "cpu":
+        return _mcu_transform_staged(rgb, qy, qc, mode)
 
     kern_np, bias_np = mcu_kernel(mode)
     kern = jnp.asarray(kern_np)

@@ -263,21 +263,24 @@ def _stripe_decode(y, cb, cr, qy, qc, *, mode: Subsampling, mcu_cols: int,
     hf, vf = mode.h_factor, mode.v_factor
 
     def plane(zz, qtab, wb):
-        # Fused de-zigzag+dequant+IDCT matmul — MUST stay the exact op
-        # sequence of models.decoder._reconstruct_plane so sharded output is
-        # bit-identical to single-device decode (range-limit to [0, 255]
-        # before upsampling/color, libjpeg post-IDCT semantics).
+        # MUST stay the exact op sequence of models.decoder's
+        # _reconstruct_plane (including its backend branch) so sharded output
+        # is bit-identical to single-device decode (integer samples,
+        # range-limited before upsampling/color — libjpeg semantics).
         from jpeg_tpu import tables
 
         hb = zz.shape[0] // wb
-        qz = qtab.reshape(64)[jnp.asarray(tables.ZIGZAG_ORDER)].astype(
-            jnp.float32)
-        flat = dct.idct_zigzag_blocks(
-            zz.reshape(-1, 64).astype(jnp.float32) * qz)
-        return jnp.clip(
-            jnp.round(tile.plane_from_scan_blocks(flat, hb, wb) + 128.0),
-            0.0, 255.0,
-        )
+        if jax.default_backend() == "cpu":
+            blocks = zigzag.from_zigzag(zz.reshape(hb, wb, 64))
+            coeff = quant.dequantize(blocks, qtab)
+            p = tile.unblockify(dct.idct_blocks(coeff)) + 128.0
+        else:
+            qz = qtab.reshape(64)[jnp.asarray(tables.ZIGZAG_ORDER)].astype(
+                jnp.float32)
+            flat = dct.idct_zigzag_blocks(
+                zz.reshape(-1, 64).astype(jnp.float32) * qz)
+            p = tile.plane_from_scan_blocks(flat, hb, wb) + 128.0
+        return jnp.clip(jnp.round(p), 0.0, 255.0)
 
     yp = jax.vmap(lambda z: plane(z, qy, mcu_cols * hf))(y)
     cbp = jax.vmap(lambda z: plane(z, qc, mcu_cols))(cb)
