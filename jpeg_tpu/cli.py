@@ -43,7 +43,8 @@ def main(argv=None) -> int:
     dec.add_argument("input")
     dec.add_argument("output")
     dec.add_argument("--entropy", default="auto",
-                     choices=["auto", "native", "numpy", "device", "indexed"],
+                     choices=["auto", "native", "numpy", "device", "indexed",
+                              "sparse"],
                      help="Huffman scan decode backend (all bit-identical)")
     dec.add_argument("--scale-denom", type=int, default=1,
                      choices=[1, 2, 4, 8],

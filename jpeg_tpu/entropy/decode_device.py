@@ -424,6 +424,114 @@ def decode_scan_indexed(
 
 
 # ---------------------------------------------------------------------------
+# Sparse-coefficient backend ("sparse"): the C++ runtime resolves the whole
+# entropy layer on the host in one walk (absolute DCs + nonzero ACs as
+# (value, zig-zag position) pairs — native.sparse_scan), and the device runs a
+# single DENSE densify program: unpack the byte payload, derive each sparse
+# element's block id from the per-block counts (one sorted B-point scatter +
+# cumsum), and place values with a sorted segment-sum over one-hot position
+# masks — the same masked-reduce shape as the encoder's level-1 pack. No
+# serial symbol chain on device at all: the per-symbol while_loop kernel's
+# measured v5e floor was ~164 ms on a 4K stream (tools/tpu_probe7g.py, x4
+# unrolled) while this program is pure VPU work on ~3 B per coefficient.
+# Upload is ONE device_put (~2 MB for a 4K q75 stream vs 12 MB dense).
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def _jit_densify(B: int, Sp: int):
+    """Jitted densify: uint32 payload [counts u8 | ks u8 | vals i16 | dc i32]
+    (little-endian byte packing) -> (B, 64) int32 zig-zag blocks."""
+    cw = (B + 3) // 4
+    kw = Sp // 4
+    vw = Sp // 2
+
+    def program(payload):
+        def bytes_of(ws):
+            return jnp.stack(
+                [(ws >> (8 * i)) & 255 for i in range(4)], axis=1
+            ).reshape(-1)
+
+        counts = bytes_of(payload[:cw])[:B].astype(jnp.int32)
+        ks = bytes_of(payload[cw:cw + kw]).astype(jnp.int32)
+        vwords = payload[cw + kw:cw + kw + vw]
+        h = jnp.stack([vwords & 0xFFFF, vwords >> 16], axis=1).reshape(-1)
+        vals = (h.astype(jnp.int32) ^ 0x8000) - 0x8000
+        dc = jax.lax.bitcast_convert_type(
+            payload[cw + kw + vw:cw + kw + vw + B], jnp.int32
+        )
+
+        # Block id per sparse element: element e belongs to the last block
+        # whose start offset is <= e. Start offsets land as marks (duplicates
+        # from empty blocks stack), cumsum counts "starts <= e". Sp > S keeps
+        # every real element's id exact; padding elements resolve to the last
+        # block with value 0 — a no-op add.
+        starts = jnp.cumsum(counts) - counts
+        marks = jnp.zeros((Sp,), jnp.int32).at[
+            jnp.clip(starts, 0, Sp - 1)
+        ].add(1, indices_are_sorted=True)
+        block_id = jnp.cumsum(marks) - 1
+
+        kcol = jnp.arange(64, dtype=jnp.int32)[None, :]
+        contrib = jnp.where(kcol == ks[:, None], vals[:, None], 0)
+        rows = jax.ops.segment_sum(
+            contrib, block_id, num_segments=B, indices_are_sorted=True
+        )
+        # Real AC positions are 1..63, so column 0 is free for the DC.
+        return rows.at[:, 0].set(dc)
+
+    return jax.jit(program)
+
+
+def decode_scan_sparse(
+    scan: bytes,
+    mcu_count: int,
+    mcu_layout: list,
+    htables: dict,
+    restart_interval: int,
+):
+    """Sparse backend: same contract as decode_scan_indexed (per-component
+    DEVICE arrays). Requires the native runtime (entropy.native)."""
+    from jpeg_tpu.entropy import native
+
+    vals, ks, counts, dc = native.sparse_scan(
+        scan, mcu_count, mcu_layout, htables, restart_interval
+    )
+    B = counts.shape[0]
+    S = vals.shape[0]
+    # Bucket to 1/8-octave steps ((8..15) << e), strictly > S: a start offset
+    # exactly at S (empty tail blocks) must keep its mark past the last real
+    # element. Finer than power-of-two buckets because the padding is real
+    # upload bytes (<= 12.5% waste vs <= 100%), at ~8x the distinct jit
+    # geometries per octave — all persistent-cache-friendly.
+    need = max(1024, S + 1)
+    e = need.bit_length() - 4  # so that (8..16) << e covers `need`
+    Sp = -(-need >> e) << e
+    cw = (B + 3) // 4
+    kw = Sp // 4
+    vw = Sp // 2
+
+    payload = np.zeros(cw + kw + vw + B, dtype=np.uint32)
+    cbuf = np.zeros(cw * 4, dtype=np.uint8)
+    cbuf[:B] = counts
+    payload[:cw] = cbuf.view(np.uint32)
+    kbuf = np.zeros(Sp, dtype=np.uint8)
+    kbuf[:S] = ks
+    payload[cw:cw + kw] = kbuf.view(np.uint32)
+    vbuf = np.zeros(Sp, dtype=np.int16)
+    vbuf[:S] = vals
+    payload[cw + kw:cw + kw + vw] = vbuf.view(np.uint32)
+    payload[cw + kw + vw:] = dc.view(np.uint32)
+
+    rows = _jit_densify(B, Sp)(jnp.asarray(payload))
+    out, base = [], 0
+    for (_comp, bpm, _, _) in mcu_layout:
+        out.append(rows[base : base + bpm * mcu_count])
+        base += bpm * mcu_count
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Parallel-prefix device index (pointer doubling) — the DESIGN §6 sketch,
 # built: restart-free streams have no parallel seam, so the serial Huffman
 # chain is re-shaped as function composition over bit positions. For EVERY bit

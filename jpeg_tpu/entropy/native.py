@@ -56,10 +56,11 @@ def _load():
         lib.jt_encode_scan.restype = ctypes.c_long
         lib.jt_decode_scan.restype = ctypes.c_long
         lib.jt_index_scan.restype = ctypes.c_long
+        lib.jt_sparse_scan.restype = ctypes.c_long
         lib.jt_progressive_scan.restype = ctypes.c_long
         lib.jt_count_symbols.restype = None
         lib.jt_version.restype = ctypes.c_int
-        if lib.jt_version() != 6:
+        if lib.jt_version() != 7:
             return None
         _lib = lib
         return _lib
@@ -315,3 +316,54 @@ def index_scan(
 
         raise ScanDecodeError(f"native index_scan failed ({n})")
     return destuffed[:n], ac_off, dc
+
+
+def sparse_scan(
+    scan: bytes,
+    mcu_count: int,
+    mcu_layout: list,
+    huff: dict,
+    restart_interval: int,
+    nthreads: int = 0,
+):
+    """Fully resolve the entropy layer on the host, sparsely: one walk over the
+    scan returning, per block (component-contiguous scan order), the absolute
+    DC coefficient plus the nonzero AC coefficients as (value, zig-zag
+    position) pairs — the payload the sparse device decode backend uploads
+    instead of dense coefficients.
+
+    Returns (vals (S,) int16, ks (S,) uint8, counts (B,) uint8, dc (B,) int32)
+    where S = total nonzero AC count and counts[b] is block b's share of
+    vals/ks (block-major, zig-zag order within a block).
+    """
+    lib = _load()
+    assert lib is not None
+    ncomp = len(mcu_layout)
+    (comp_bpm, blk_comp, blk_occ, blk_tbl,
+     dc_code, dc_len, ac_code, ac_len) = _scan_layout(mcu_layout, huff)
+    bpm_total = int(comp_bpm.sum())
+
+    data = np.frombuffer(scan, dtype=np.uint8)
+    total_blocks = mcu_count * bpm_total
+    vals = np.empty(total_blocks * 63, dtype=np.int16)
+    ks = np.empty(total_blocks * 63, dtype=np.uint8)
+    counts = np.zeros(total_blocks, dtype=np.uint8)
+    dc = np.zeros(total_blocks, dtype=np.int32)
+    n = lib.jt_sparse_scan(
+        _ptr(data, ctypes.c_uint8), ctypes.c_long(len(data)),
+        ctypes.c_long(mcu_count), ctypes.c_int(bpm_total),
+        _ptr(blk_comp, ctypes.c_uint8), _ptr(blk_occ, ctypes.c_uint8),
+        _ptr(blk_tbl, ctypes.c_uint8),
+        _ptr(dc_code, ctypes.c_uint32), _ptr(dc_len, ctypes.c_uint8),
+        _ptr(ac_code, ctypes.c_uint32), _ptr(ac_len, ctypes.c_uint8),
+        ctypes.c_long(restart_interval), ctypes.c_int(ncomp),
+        _ptr(comp_bpm, ctypes.c_int32),
+        _ptr(vals, ctypes.c_int16), _ptr(ks, ctypes.c_uint8),
+        _ptr(counts, ctypes.c_uint8), _ptr(dc, ctypes.c_int32),
+        ctypes.c_int(nthreads),
+    )
+    if n < 0:
+        from jpeg_tpu.entropy.decode_np import ScanDecodeError
+
+        raise ScanDecodeError(f"native sparse_scan failed ({n})")
+    return vals[:n], ks[:n], counts, dc

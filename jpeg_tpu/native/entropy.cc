@@ -563,6 +563,184 @@ long jt_index_scan(const uint8_t* data, long dlen, long mcu_count,
 }
 
 // ---------------------------------------------------------------------------
+// Sparse pass for the sparse-coefficient device decode path (decode_device
+// decode_scan_sparse): one walk over the scan that fully resolves the entropy
+// layer on the host — absolute DC per block plus the nonzero AC coefficients
+// as (value, zig-zag position) pairs — leaving the device a single dense
+// gather-free densify + finish program. ~3 B per nonzero coefficient crosses
+// the host link (vs 128 B/block of dense coefficients), and the device spends
+// no time in a serial symbol chain at all: the measured v5e floor for the
+// per-symbol while_loop kernel was ~164 ms on a 4K stream
+// (tools/tpu_probe7g.py) against ~15 ms for this walk.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+int sparse_segment(const uint8_t* data, long dlen,
+                   long first_mcu, long n_mcu, int bpm,
+                   const uint8_t* blk_comp, const uint8_t* blk_occ,
+                   const uint8_t* blk_tbl, const IdxLut* luts,
+                   int16_t* vals, uint8_t* ks, uint8_t* counts,
+                   int32_t* dc_out,
+                   long* comp_base, const int* comp_bpm) {
+  FastCursor r{data};
+  const long end_bit = dlen * 8;
+  int32_t preds[8] = {0};
+
+  for (long m = 0; m < n_mcu; ++m) {
+    for (int bi = 0; bi < bpm; ++bi) {
+      int comp = blk_comp[bi];
+      const IdxLut& lu = luts[blk_tbl[bi]];
+      long block_index =
+          comp_base[comp] + (first_mcu + m) * comp_bpm[comp] + blk_occ[bi];
+      int16_t* bv = vals + block_index * 63;
+      uint8_t* bk = ks + block_index * 63;
+      int cnt = 0;
+
+      uint32_t e = lu.dc[r.peek16()];
+      if (e == 0xFFFF) return -2;
+      r.bit += e >> 8;
+      int size = e & 0xFF;
+      if (size) {
+        uint32_t amp = r.peek16() >> (16 - size);
+        r.bit += size;
+        preds[comp] += amp < (1u << (size - 1))
+                           ? (int32_t)amp - (1 << size) + 1
+                           : (int32_t)amp;
+      }
+      dc_out[block_index] = preds[comp];
+
+      int k = 1;
+      while (k < 64) {
+        e = lu.ac[r.peek16()];
+        if (e == 0xFFFF) return -3;
+        int sym = e & 0xFF;
+        int adv = e >> 8;  // code len + amplitude bits
+        if (sym == 0) { r.bit += adv; break; }        // EOB
+        if (sym == 0xF0) { r.bit += adv; k += 16; continue; }
+        int s = sym & 15;
+        k += sym >> 4;
+        if (k > 63) return -4;
+        if (s) {
+          r.bit += adv - s;  // the Huffman code alone
+          uint32_t amp = r.peek16() >> (16 - s);
+          r.bit += s;
+          bv[cnt] = (int16_t)(amp < (1u << (s - 1))
+                                  ? (int32_t)amp - (1 << s) + 1
+                                  : (int32_t)amp);
+          bk[cnt] = (uint8_t)k;
+          ++cnt;
+        } else {
+          // Nonstandard (run, 0) symbol: a zero coefficient — advances k,
+          // emits nothing (the dense walkers store an explicit 0 there).
+          r.bit += adv;
+        }
+        ++k;
+      }
+      counts[block_index] = (uint8_t)cnt;
+      if (r.bit > end_bit) return -5;
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+// Sparse-coefficient scan pass (same layout contract as jt_index_scan).
+// vals/ks must hold total_blocks*63 entries, counts/dc_out one per block.
+// On success the first return-value entries of vals/ks are the compacted
+// per-block nonzero runs (block-major, zig-zag order within a block) and
+// counts[b] gives each block's share. Returns the total nonzero count, or a
+// negative error code.
+long jt_sparse_scan(const uint8_t* data, long dlen, long mcu_count,
+                    int bpm, const uint8_t* blk_comp, const uint8_t* blk_occ,
+                    const uint8_t* blk_tbl,
+                    const uint32_t* dc_code, const uint8_t* dc_len,
+                    const uint32_t* ac_code, const uint8_t* ac_len,
+                    long restart_interval, int ncomp, const int* comp_bpm,
+                    int16_t* vals, uint8_t* ks, uint8_t* counts,
+                    int32_t* dc_out, int nthreads) {
+  DecodeLut dc_luts[2], ac_luts[2];
+  IdxLut idx_luts[2];
+  for (int t = 0; t < 2; ++t) {
+    dc_luts[t].build(dc_code + t * 256, dc_len + t * 256);
+    ac_luts[t].build(ac_code + t * 256, ac_len + t * 256);
+    idx_luts[t].build(dc_luts[t], ac_luts[t]);
+  }
+  std::vector<long> comp_base(ncomp);
+  long base = 0;
+  for (int c = 0; c < ncomp; ++c) {
+    comp_base[c] = base;
+    base += comp_bpm[c] * mcu_count;
+  }
+  const long total_blocks = base;
+
+  // Pass 1: split on RSTn and destuff into an internal scratch (guard bytes
+  // for the 64-bit cursor).
+  std::vector<uint8_t> destuffed((size_t)(dlen > 0 ? dlen : 1) + 512, 0);
+  struct Seg { long dst_off, dst_len, first_mcu, n_mcu; };
+  std::vector<Seg> segs;
+  long r = restart_interval > 0 ? restart_interval : mcu_count;
+  long mcu0 = 0, dst = 0, i = 0, seg_start = 0;
+  auto close_segment = [&](long end) {
+    long off0 = dst;
+    for (long j = seg_start; j < end; ++j) {
+      uint8_t b = data[j];
+      destuffed[dst++] = b;
+      if (b == 0xFF && j + 1 < end && data[j + 1] == 0x00) ++j;
+    }
+    long n = r < mcu_count - mcu0 ? r : mcu_count - mcu0;
+    segs.push_back({off0, dst - off0, mcu0, n});
+    mcu0 += n;
+  };
+  for (; i + 1 < dlen; ++i) {
+    if (data[i] == 0xFF && data[i + 1] >= 0xD0 && data[i + 1] <= 0xD7) {
+      close_segment(i);
+      seg_start = i + 2;
+      ++i;
+    }
+  }
+  close_segment(dlen);
+
+  // Pass 2: walk segments on worker threads (disjoint block ranges).
+  std::atomic<long> next{0};
+  std::atomic<int> err{0};
+  int nt = nthreads > 0 ? nthreads : (int)std::thread::hardware_concurrency();
+  if (nt > (int)segs.size()) nt = (int)segs.size();
+  if (nt < 1) nt = 1;
+  auto worker = [&]() {
+    for (;;) {
+      long s = next.fetch_add(1);
+      if (s >= (long)segs.size() || err.load(std::memory_order_relaxed)) return;
+      const Seg& g = segs[s];
+      if (g.n_mcu <= 0) continue;
+      int e = sparse_segment(destuffed.data() + g.dst_off, g.dst_len,
+                             g.first_mcu, g.n_mcu, bpm, blk_comp, blk_occ,
+                             blk_tbl, idx_luts, vals, ks, counts, dc_out,
+                             comp_base.data(), comp_bpm);
+      if (e) err.store(e);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  if (err.load()) return err.load();
+
+  // Pass 3: compact the strided per-block runs in place (dst <= src always).
+  long sp = 0;
+  for (long b = 0; b < total_blocks; ++b) {
+    int c = counts[b];
+    if (c && sp != b * 63) {
+      std::memmove(vals + sp, vals + b * 63, (size_t)c * sizeof(int16_t));
+      std::memmove(ks + sp, ks + b * 63, (size_t)c);
+    }
+    sp += c;
+  }
+  return sp;
+}
+
+// ---------------------------------------------------------------------------
 // Progressive (SOF2) scan decoding — native twin of entropy/progressive_np.py
 // (ITU-T T.81 Annex G decode side; the reference has no decoder at all).
 // One call decodes one scan into the caller's per-component zig-zag grids;
@@ -838,6 +1016,6 @@ void jt_count_symbols(const int32_t* blocks, const uint8_t* tbl, long nblocks,
   }
 }
 
-int jt_version() { return 6; }
+int jt_version() { return 7; }
 
 }  // extern "C"

@@ -107,57 +107,66 @@ def test_device_corrupt_stream_flags_error(tiger):
         np.testing.assert_array_equal(a, b)
 
 
-# --- hybrid indexed backend (host index pass + parallel device blocks) ----
+# --- hybrid backends: "indexed" (host index pass + parallel device block
+# decode) and "sparse" (host sparse-coefficient walk + device densify) ------
+
+HYBRID = ["indexed", "sparse"]
 
 
+@pytest.mark.parametrize("backend", HYBRID)
 @pytest.mark.parametrize("mode", ["4:4:4", "4:2:2", "4:2:0"])
 @pytest.mark.parametrize("restart", [0, 7])
-def test_indexed_matches_numpy_scan_layers(tiger, mode, restart):
+def test_hybrid_matches_numpy_scan_layers(tiger, backend, mode, restart):
     data = encoder.encode(tiger, quality=75, subsampling=mode,
                           restart_interval=restart)
     ref = _scan_blocks(data, "numpy")
-    idx = _scan_blocks(data, "indexed")
+    idx = _scan_blocks(data, backend)
     for a, b in zip(ref, idx):
         np.testing.assert_array_equal(a, np.asarray(b))
 
 
+@pytest.mark.parametrize("backend", HYBRID)
 @pytest.mark.parametrize("quality", [10, 75, 97])
-def test_indexed_pixel_identical(tiger, quality):
+def test_hybrid_pixel_identical(tiger, backend, quality):
     data = encoder.encode(tiger, quality=quality, subsampling="4:2:0",
                           restart_interval=4)
     np.testing.assert_array_equal(
-        decode(data, entropy="indexed"), decode(data, entropy="numpy")
+        decode(data, entropy=backend), decode(data, entropy="numpy")
     )
 
 
-def test_indexed_grayscale_and_optimized_tables(tiger):
+@pytest.mark.parametrize("backend", HYBRID)
+def test_hybrid_grayscale_and_optimized_tables(tiger, backend):
     data = encoder.encode(tiger[..., 0], quality=70, optimize_tables=True,
                           restart_interval=6)
     np.testing.assert_array_equal(
-        decode(data, entropy="indexed"), decode(data, entropy="numpy")
+        decode(data, entropy=backend), decode(data, entropy="numpy")
     )
 
 
-def test_indexed_foreign_pil_stream(tiger):
+@pytest.mark.parametrize("backend", HYBRID)
+def test_hybrid_foreign_pil_stream(tiger, backend):
     buf = io.BytesIO()
     Image.fromarray(tiger).save(buf, format="JPEG", quality=80,
                                 restart_marker_blocks=8)
     data = buf.getvalue()
     np.testing.assert_array_equal(
-        decode(data, entropy="indexed"), decode(data, entropy="numpy")
+        decode(data, entropy=backend), decode(data, entropy="numpy")
     )
 
 
-def test_indexed_noninterleaved_multiscan(tiger):
+@pytest.mark.parametrize("backend", HYBRID)
+def test_hybrid_noninterleaved_multiscan(tiger, backend):
     from jpeg_tpu.models.multiscan import encode_noninterleaved
 
     data = encode_noninterleaved(tiger, quality=75)
     np.testing.assert_array_equal(
-        decode(data, entropy="indexed"), decode(data, entropy="numpy")
+        decode(data, entropy=backend), decode(data, entropy="numpy")
     )
 
 
-def test_indexed_corrupt_stream_flags_error(tiger):
+@pytest.mark.parametrize("backend", HYBRID)
+def test_hybrid_corrupt_stream_flags_error(tiger, backend):
     data = bytearray(encoder.encode(tiger, quality=75, optimize_tables=True,
                                     restart_interval=8))
     info = jfif.parse_jpeg(bytes(data))
@@ -168,13 +177,48 @@ def test_indexed_corrupt_stream_flags_error(tiger):
         if trial[start + off] == 0xFF or data[start + off] == 0xFF:
             continue
         try:
-            a = decode(bytes(trial), entropy="indexed")
+            a = decode(bytes(trial), entropy=backend)
         except (ScanDecodeError, jfif.JpegFormatError):
             with pytest.raises((ScanDecodeError, jfif.JpegFormatError)):
                 decode(bytes(trial), entropy="numpy")
             continue
         b = decode(bytes(trial), entropy="numpy")
         np.testing.assert_array_equal(a, b)
+
+
+def test_sparse_scan_payload_contract(tiger):
+    """native.sparse_scan's (vals, ks, counts, dc) reassemble into exactly the
+    dense blocks the full native decoder produces."""
+    from jpeg_tpu.entropy import native
+    from jpeg_tpu.models import layout
+
+    data = encoder.encode(tiger, quality=75, subsampling="4:2:0",
+                          restart_interval=9)
+    info = jfif.parse_jpeg(data)
+    cy, ccb, ccr = info.components
+    n_mcu = layout.ceil_div(info.height, 8 * cy.v) * layout.ceil_div(
+        info.width, 8 * cy.h
+    )
+    mcu_layout = [
+        (0, cy.h * cy.v, cy.dc_id, cy.ac_id),
+        (1, 1, ccb.dc_id, ccb.ac_id),
+        (2, 1, ccr.dc_id, ccr.ac_id),
+    ]
+    vals, ks, counts, dc = native.sparse_scan(
+        info.scan_data, n_mcu, mcu_layout, info.htables,
+        info.restart_interval,
+    )
+    assert vals.shape == ks.shape and counts.sum() == vals.shape[0]
+    B = counts.shape[0]
+    dense = np.zeros((B, 64), dtype=np.int32)
+    dense[:, 0] = dc
+    block_id = np.repeat(np.arange(B), counts)
+    dense[block_id, ks.astype(np.int64)] = vals
+    ref = np.concatenate(
+        native.decode_scan(info.scan_data, n_mcu, mcu_layout, info.htables,
+                           info.restart_interval)
+    )
+    np.testing.assert_array_equal(dense, ref)
 
 
 def test_device_rejects_bad_segment_count(tiger):
