@@ -1,7 +1,10 @@
-"""Device-side Huffman scan decoder (JAX, vmapped over restart segments).
+"""Device-side Huffman scan decode backends (JAX).
 
-Third entropy-decode backend next to decode_np (host NumPy) and native (C++
-thread pool), completing the roadmap item in docs/DESIGN.md §6: Huffman codes
+Three backends live here next to decode_np (host NumPy) and native (C++
+thread pool): "device" (fully on-device, vmapped over restart segments),
+"indexed" (host index pass + parallel device AC kernel) and "sparse" (host
+sparse-coefficient walk + device densify — the TPU default; DESIGN §6).
+The original roadmap item this file completed: Huffman codes
 are self-delimiting but not self-synchronizing, so decode is serial *within*
 a restart segment — but every RSTn marker byte-aligns the stream and resets
 the DC predictors (ITU-T T.81 §F.2.1.3.1), making segments independent. This
@@ -438,60 +441,66 @@ def decode_scan_indexed(
 # ---------------------------------------------------------------------------
 
 
-@functools.cache
-def _jit_densify(B: int, Sp: int):
-    """Jitted densify: uint32 payload [counts u8 | ks u8 | vals i16 | dc i32]
-    (little-endian byte packing) -> (B, 64) int32 zig-zag blocks."""
+def densify_body(payload, B: int, Sp: int):
+    """Traceable densify: uint32 payload [counts u8 | ks u8 | vals i16 |
+    dc i32] (little-endian byte packing) -> (B, 64) int32 zig-zag blocks.
+    Pure function of the payload so callers can fuse it into larger jitted
+    programs (the decoder composes densify + raster reorder + finishing into
+    ONE program — each extra dispatch costs ~22 ms through this container's
+    tunnel)."""
     cw = (B + 3) // 4
     kw = Sp // 4
     vw = Sp // 2
 
-    def program(payload):
-        def bytes_of(ws):
-            return jnp.stack(
-                [(ws >> (8 * i)) & 255 for i in range(4)], axis=1
-            ).reshape(-1)
+    def bytes_of(ws):
+        return jnp.stack(
+            [(ws >> (8 * i)) & 255 for i in range(4)], axis=1
+        ).reshape(-1)
 
-        counts = bytes_of(payload[:cw])[:B].astype(jnp.int32)
-        ks = bytes_of(payload[cw:cw + kw]).astype(jnp.int32)
-        vwords = payload[cw + kw:cw + kw + vw]
-        h = jnp.stack([vwords & 0xFFFF, vwords >> 16], axis=1).reshape(-1)
-        vals = (h.astype(jnp.int32) ^ 0x8000) - 0x8000
-        dc = jax.lax.bitcast_convert_type(
-            payload[cw + kw + vw:cw + kw + vw + B], jnp.int32
-        )
+    counts = bytes_of(payload[:cw])[:B].astype(jnp.int32)
+    ks = bytes_of(payload[cw:cw + kw]).astype(jnp.int32)
+    vwords = payload[cw + kw:cw + kw + vw]
+    h = jnp.stack([vwords & 0xFFFF, vwords >> 16], axis=1).reshape(-1)
+    vals = (h.astype(jnp.int32) ^ 0x8000) - 0x8000
+    dc = jax.lax.bitcast_convert_type(
+        payload[cw + kw + vw:cw + kw + vw + B], jnp.int32
+    )
 
-        # Block id per sparse element: element e belongs to the last block
-        # whose start offset is <= e. Start offsets land as marks (duplicates
-        # from empty blocks stack), cumsum counts "starts <= e". Sp > S keeps
-        # every real element's id exact; padding elements resolve to the last
-        # block with value 0 — a no-op add.
-        starts = jnp.cumsum(counts) - counts
-        marks = jnp.zeros((Sp,), jnp.int32).at[
-            jnp.clip(starts, 0, Sp - 1)
-        ].add(1, indices_are_sorted=True)
-        block_id = jnp.cumsum(marks) - 1
+    # Block id per sparse element: element e belongs to the last block
+    # whose start offset is <= e. Start offsets land as marks (duplicates
+    # from empty blocks stack), cumsum counts "starts <= e". Sp > S keeps
+    # every real element's id exact; padding elements resolve to the last
+    # block with value 0 — a no-op add.
+    starts = jnp.cumsum(counts) - counts
+    marks = jnp.zeros((Sp,), jnp.int32).at[
+        jnp.clip(starts, 0, Sp - 1)
+    ].add(1, indices_are_sorted=True)
+    block_id = jnp.cumsum(marks) - 1
 
-        kcol = jnp.arange(64, dtype=jnp.int32)[None, :]
-        contrib = jnp.where(kcol == ks[:, None], vals[:, None], 0)
-        rows = jax.ops.segment_sum(
-            contrib, block_id, num_segments=B, indices_are_sorted=True
-        )
-        # Real AC positions are 1..63, so column 0 is free for the DC.
-        return rows.at[:, 0].set(dc)
-
-    return jax.jit(program)
+    kcol = jnp.arange(64, dtype=jnp.int32)[None, :]
+    contrib = jnp.where(kcol == ks[:, None], vals[:, None], 0)
+    rows = jax.ops.segment_sum(
+        contrib, block_id, num_segments=B, indices_are_sorted=True
+    )
+    # Real AC positions are 1..63, so column 0 is free for the DC.
+    return rows.at[:, 0].set(dc)
 
 
-def decode_scan_sparse(
+@functools.cache
+def _jit_densify(B: int, Sp: int):
+    return jax.jit(functools.partial(densify_body, B=B, Sp=Sp))
+
+
+def sparse_payload(
     scan: bytes,
     mcu_count: int,
     mcu_layout: list,
     htables: dict,
     restart_interval: int,
 ):
-    """Sparse backend: same contract as decode_scan_indexed (per-component
-    DEVICE arrays). Requires the native runtime (entropy.native)."""
+    """Host half of the sparse backend: run native.sparse_scan and pack its
+    outputs into the single uint32 upload payload densify_body expects.
+    Returns (payload (np.uint32), B, Sp)."""
     from jpeg_tpu.entropy import native
 
     vals, ks, counts, dc = native.sparse_scan(
@@ -522,7 +531,21 @@ def decode_scan_sparse(
     vbuf[:S] = vals
     payload[cw + kw:cw + kw + vw] = vbuf.view(np.uint32)
     payload[cw + kw + vw:] = dc.view(np.uint32)
+    return payload, B, Sp
 
+
+def decode_scan_sparse(
+    scan: bytes,
+    mcu_count: int,
+    mcu_layout: list,
+    htables: dict,
+    restart_interval: int,
+):
+    """Sparse backend: same contract as decode_scan_indexed (per-component
+    DEVICE arrays). Requires the native runtime (entropy.native)."""
+    payload, B, Sp = sparse_payload(
+        scan, mcu_count, mcu_layout, htables, restart_interval
+    )
     rows = _jit_densify(B, Sp)(jnp.asarray(payload))
     out, base = [], 0
     for (_comp, bpm, _, _) in mcu_layout:

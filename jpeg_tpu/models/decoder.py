@@ -191,6 +191,34 @@ def _jit_finish_color(shapes, factors, fancy=(True, True, True),
 
 
 @functools.cache
+def _jit_finish_color_sparse(B, Sp, comp_ranges, raster_geo, shapes, factors,
+                             fancy, use_pallas, is_rgb, k):
+    """Whole sparse decode as ONE device program: densify the uploaded sparse
+    payload, split/reorder per component (scan order -> plane raster order,
+    reshape+transpose only), then the standard color finishing. Fusing these
+    saves the per-dispatch tunnel cost of the separate densify, eager raster
+    ops and finish calls (~22 ms EACH in this container).
+
+    comp_ranges: per-component (lo, hi) block slices of the densified rows.
+    raster_geo: per-component (mcu_rows, mcu_cols, v, h) or None when the
+    component has one block per MCU (already raster-ordered)."""
+
+    def program(payload, qy, qcb, qcr):
+        rows = decode_device.densify_body(payload, B, Sp)
+        zz = []
+        for (lo, hi), geo in zip(comp_ranges, raster_geo):
+            s = rows[lo:hi]
+            if geo is not None:
+                s = layout.scan_to_raster(s, *geo)
+            zz.append(s)
+        return _finish_color(*zz, qy, qcb, qcr, shapes=shapes,
+                             factors=factors, fancy=fancy,
+                             use_pallas=use_pallas, is_rgb=is_rgb, k=k)
+
+    return jax.jit(program)
+
+
+@functools.cache
 def _jit_finish_gray(shape, k=8):
     return jax.jit(functools.partial(_finish_gray, shape=shape, k=k))
 
@@ -383,6 +411,7 @@ def decode(data: bytes, fancy_upsample: bool = True,
     if sum(c.h * c.v for c in comps) > 10:
         raise jfif.JpegFormatError("more than 10 blocks per MCU (spec B.2.3)")
 
+    sparse_fused = None  # (payload, B, Sp) when the one-program path applies
     if info.progressive:
         zz = progressive_np.decode_progressive(
             info, backend=_progressive_backend(entropy)
@@ -391,15 +420,33 @@ def decode(data: bytes, fancy_upsample: bool = True,
         mcu_layout = [
             (i, c.h * c.v, c.dc_id, c.ac_id) for i, c in enumerate(comps)
         ]
-        scans = _decode_scan(info, n_mcu, mcu_layout, entropy)
-        # Scan order -> plane raster order per component (spec A.2.3), as a
-        # reshape+transpose (device arrays from the indexed backend would pay
-        # a real row-gather otherwise).
-        zz = [
-            layout.scan_to_raster(s, mcu_rows, mcu_cols, c.v, c.h)
-            if c.h * c.v > 1 else s
-            for c, s in zip(comps, scans)
-        ]
+        use_sparse = (
+            len(comps) == 3
+            and native.available()
+            and all(dc == ac and dc in (0, 1)
+                    for (_, _, dc, ac) in mcu_layout)
+            and (entropy == "sparse" or (
+                entropy == "auto" and jax.default_backend() != "cpu"
+            ))
+        )
+        if use_sparse:
+            # Sparse one-program path: host walk + payload build here; the
+            # densify/reorder/finish all fuse into _jit_finish_color_sparse.
+            sparse_fused = decode_device.sparse_payload(
+                info.scan_data, n_mcu, mcu_layout, info.htables,
+                info.restart_interval,
+            )
+            zz = None
+        else:
+            scans = _decode_scan(info, n_mcu, mcu_layout, entropy)
+            # Scan order -> plane raster order per component (spec A.2.3), as
+            # a reshape+transpose (device arrays from the hybrid backends
+            # would pay a real row-gather otherwise).
+            zz = [
+                layout.scan_to_raster(s, mcu_rows, mcu_cols, c.v, c.h)
+                if c.h * c.v > 1 else s
+                for c, s in zip(comps, scans)
+            ]
     else:
         zz = _decode_noninterleaved(info, mcu_rows, mcu_cols, entropy)
 
@@ -429,6 +476,21 @@ def decode(data: bytes, fancy_upsample: bool = True,
         info.adobe_transform is None
         and tuple(c.comp_id for c in comps) == (0x52, 0x47, 0x42)
     )
+    if sparse_fused is not None:
+        payload, B, Sp = sparse_fused
+        ranges, geo, base = [], [], 0
+        for c in comps:
+            bpm = c.h * c.v
+            ranges.append((base, base + bpm * n_mcu))
+            geo.append((mcu_rows, mcu_cols, c.v, c.h) if bpm > 1 else None)
+            base += bpm * n_mcu
+        out = _jit_finish_color_sparse(
+            B, Sp, tuple(ranges), tuple(geo), shapes, factors, fancy,
+            bool(use_pallas), is_rgb, k,
+        )(jnp.asarray(payload), *qtabs)
+        out = out[: layout.ceil_div(info.height, scale_denom),
+                  : layout.ceil_div(info.width, scale_denom)]
+        return out if device_output else np.asarray(out)
     out = _jit_finish_color(shapes, factors, fancy,
                             bool(use_pallas), is_rgb, k)(
         *(jnp.asarray(z) for z in zz), *qtabs

@@ -170,14 +170,15 @@ def _interleaved_blocks(rgb, qy, qc, mode: Subsampling, restart_mcus: int):
 def _transform_color_packed(
     rgb, qy, qc, dc_code, dc_len, ac_code, ac_len, *,
     mode: Subsampling, restart_mcus: int, pallas_pack: bool = False,
-    group: str = "mcu",
+    group: str = "tree",
 ):
-    """group: level-1/2 granularity of the packer — "mcu" (default: one
-    group per MCU, ~4x fewer level-2 scatter updates, per-group budget
-    bpm*128 bits) or "block" (one group per 8x8 block, budget 288 bits —
-    survives busier content). The encoder tries mcu, retries block on
-    overflow, then falls back to the host packer; all three emit identical
-    bytes when they fit."""
+    """group: level-1/2 granularity of the packer — "tree" (default:
+    narrow per-block level 1, block->MCU shift-combine, per-MCU level 2;
+    budgets bpm*128 bits/MCU and 288 bits/block — measured fastest,
+    tools/tpu_probe7i.py), "mcu" (one wide group per MCU, MCU budget only)
+    or "block" (one group per 8x8 block, 288-bit budget — survives busier
+    content). The encoder tries tree, retries block on overflow, then falls
+    back to the host packer; all three emit identical bytes when they fit."""
     blocks, tbl, n_mcu, hv = _interleaved_blocks(
         rgb, qy, qc, mode, restart_mcus)
     r = int(restart_mcus)
@@ -205,6 +206,21 @@ def _transform_color_packed(
     bits, nbits = bitpack.build_bitfields(
         blocks, tbl, dc_code, dc_len, ac_code, ac_len
     )
+    if group == "tree":
+        # Narrow per-block level 1 + block->MCU shift-combine + per-MCU
+        # level 2 (bitpack.pack_bits_tree) — per-MCU budget bpm*128 bits
+        # AND per-block budget 288 bits (fallback to "block"/host beyond).
+        if r == 0 or r >= n_mcu:
+            nwords = nblocks * WORDS_PER_BLOCK + 2
+            words, total, ok = bitpack.pack_bits_tree(bits, nbits, nwords, bpm)
+            return words[None], total[None], ok[None]
+        nseg = n_mcu // r
+        nwords = r * bpm * WORDS_PER_BLOCK + 2
+        bits = bits.reshape(nseg, -1, 191)
+        nbits = nbits.reshape(nseg, -1, 191)
+        return jax.vmap(
+            lambda b, n: bitpack.pack_bits_tree(b, n, nwords, bpm)
+        )(bits, nbits)
     if group == "mcu":
         fields = bpm * 191
         bw = bpm * 4  # 128 bits per block on average within the MCU budget
@@ -228,7 +244,7 @@ def _transform_color_packed(
 
 @functools.cache
 def _jit_color_packed(mode: Subsampling, restart_mcus: int,
-                      pallas_pack: bool = False, group: str = "mcu"):
+                      pallas_pack: bool = False, group: str = "tree"):
     return jax.jit(
         functools.partial(
             _transform_color_packed, mode=mode, restart_mcus=restart_mcus,
@@ -489,9 +505,10 @@ def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
             img, qy, qc, *luts
         )
         if not bool(np.asarray(ok).all()) and not use_pallas_pack:
-            # An MCU overflowed the mcu-group budget: retry with the
-            # narrower-budget block grouping before giving up on the device
-            # (identical bytes, just a different level-1/2 granularity).
+            # An MCU overflowed the tree pack's MCU budget (or a block its
+            # 288-bit cap with an MCU that still fits): retry with block
+            # grouping before giving up on the device (identical bytes, just
+            # a different level-1/2 granularity).
             words, totals, ok = _jit_color_packed(
                 mode, r, False, "block")(img, qy, qc, *luts)
         totals_np = np.asarray(totals)

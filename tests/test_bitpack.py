@@ -37,6 +37,71 @@ def test_device_pack_matches_numpy(rng, density):
     assert got == expect
 
 
+def test_tree_pack_matches_mcu_and_block_grouping(rng):
+    """pack_bits_tree (narrow level 1 + block->MCU combine) is byte-identical
+    to pack_bits under both groupings when all budgets hold, and flags ok
+    consistently with its tighter per-block cap."""
+    bpm, nm = 6, 37
+    n = bpm * nm
+    blocks = _random_blocks(rng, n, density=0.06)
+    tbl = np.tile(np.array([0, 0, 0, 0, 1, 1], np.int32), nm)
+    huff = huffman.standard_tables()
+    luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(huff))
+    bits, nbits = bitpack.build_bitfields(
+        jnp.asarray(blocks), jnp.asarray(tbl), *luts)
+    nwords = n * 12 + 2
+    mw = 40  # roomy budget so uniform-density random MCUs fit
+    w_m, t_m, ok_m = bitpack.pack_bits(
+        bits.reshape(nm, -1), nbits.reshape(nm, -1), nwords, mw)
+    w_t, t_t, ok_t = bitpack.pack_bits_tree(
+        bits, nbits, nwords, bpm, mcu_words=mw)
+    w_b, t_b, ok_b = bitpack.pack_bits(bits, nbits, nwords)
+    assert bool(ok_m) and bool(ok_t) and bool(ok_b)
+    assert int(t_m) == int(t_t) == int(t_b)
+    np.testing.assert_array_equal(np.asarray(w_m), np.asarray(w_t))
+    np.testing.assert_array_equal(np.asarray(w_m), np.asarray(w_b))
+
+    # A block past the 288-bit cap: tree must report failure like "block".
+    dense = _random_blocks(rng, n, density=0.9)
+    db, dn = bitpack.build_bitfields(
+        jnp.asarray(dense), jnp.asarray(tbl), *luts)
+    _, _, ok_dense = bitpack.pack_bits_tree(db, dn, n * 54 + 2, bpm,
+                                            mcu_words=120)
+    assert not bool(ok_dense)
+
+
+def test_tree_pack_end_to_end_stream(rng):
+    """Full encoder stream through group="tree" equals the host scan.
+
+    Uses a smooth gradient image: tiger at q75 has an 867-bit MCU that
+    overflows the shared bpm*128-bit MCU budget (both "mcu" and "tree"
+    groupings report ok=False on it and the encoder falls back — that path is
+    covered by test_device_pack_overflow_falls_back_end_to_end)."""
+    from jpeg_tpu.models import encoder as E
+    from jpeg_tpu.config import Subsampling
+    from jpeg_tpu.ops import quant
+
+    h, w = 128, 160
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(
+        np.stack([xx * 255 / w, yy * 255 / h, (xx + yy) * 128 / (h + w)], -1)
+        + rng.integers(-8, 9, (h, w, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    expect = encode(img, quality=75, subsampling="420")
+    qy = jnp.asarray(quant.luma_table(75))
+    qc = jnp.asarray(quant.chroma_table(75))
+    huff = huffman.standard_tables()
+    luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(huff))
+    fn = E._jit_color_packed(Subsampling.YUV420, 0, False, "tree")
+    words, totals, ok = fn(jnp.asarray(img), qy, qc, *luts)
+    assert bool(np.asarray(ok).all())
+    t = int(np.asarray(totals)[0])
+    scan = bitpack.finalize_segment(
+        np.asarray(words[0, : (t + 31) // 32]), t).tobytes()
+    assert scan in expect
+
+
 def test_device_pack_zrl_chains(rng):
     """Blocks forcing 1, 2 and 3 ZRL symbols (the split-channel paths)."""
     blocks = np.zeros((4, 64), dtype=np.int32)

@@ -186,6 +186,24 @@ def test_hybrid_corrupt_stream_flags_error(tiger, backend):
         np.testing.assert_array_equal(a, b)
 
 
+def test_sparse_fused_scaled_and_device_output(tiger):
+    """entropy="sparse" routes interleaved color streams through the fused
+    one-program path (densify+reorder+finish in one jit) — it must honor
+    scale_denom and device_output and stay bit-identical to numpy."""
+    import jax.numpy as jnp
+
+    data = encoder.encode(tiger, quality=80, subsampling="4:2:0",
+                          restart_interval=5)
+    for sd in (1, 4):
+        np.testing.assert_array_equal(
+            decode(data, entropy="sparse", scale_denom=sd),
+            decode(data, entropy="numpy", scale_denom=sd),
+        )
+    out = decode(data, entropy="sparse", device_output=True)
+    assert isinstance(out, jnp.ndarray)
+    np.testing.assert_array_equal(np.asarray(out), decode(data, entropy="numpy"))
+
+
 def test_sparse_scan_payload_contract(tiger):
     """native.sparse_scan's (vals, ks, counts, dc) reassemble into exactly the
     dense blocks the full native decoder produces."""
