@@ -212,6 +212,7 @@ def child(platform: str) -> None:
 
     # --- decode: device-resident (pixels stay in HBM — the serving case) ---
     dec_rate = dec_resident_rate = dec_scale8_rate = dec_sustained_rate = None
+    dec_batched_rate = None
     dec_stages = {}
     try:
         entropy = "sparse" if use_device_pack else "auto"
@@ -243,6 +244,28 @@ def child(platform: str) -> None:
             log(f"decode (pipelined x{KD}): {dec_pipe_s*1e3:.1f} ms/img -> "
                 f"{dec_sustained_rate:.1f} MPix/s")
             dec_resident_rate = max(dec_resident_rate, dec_sustained_rate)
+
+        # Batched K-image decode program (decode twin of the batched encode).
+        if use_device_pack:
+            try:
+                from jpeg_tpu.models.decoder import decode_batched
+
+                KBD = 4
+                batch_jpgs = [jpg] * KBD
+                sync(decode_batched(batch_jpgs, device_output=True))  # warm
+                t0 = time.time()
+                reps = 2
+                obd = None
+                for _ in range(reps):
+                    obd = decode_batched(batch_jpgs, device_output=True)
+                sync(obd)
+                bat_s = (time.time() - t0) / (reps * KBD)
+                dec_batched_rate = mpix / bat_s
+                log(f"decode (batched x{KBD} per dispatch): {bat_s*1e3:.1f} "
+                    f"ms/img -> {dec_batched_rate:.1f} MPix/s")
+            except Exception as e:
+                dec_batched_rate = None
+                log(f"batched decode failed: {type(e).__name__}: {e}")
         t0 = time.time()
         host_out = np.asarray(out)
         dec_stages["d2h_ms"] = round((time.time() - t0) * 1e3, 1)
@@ -267,17 +290,31 @@ def child(platform: str) -> None:
             (i, c.h * c.v, c.dc_id, c.ac_id)
             for i, c in enumerate(info.components)
         ]
+        def best_of(f, n=3):
+            # The tunnel's RPC latency spikes while prior transfers drain;
+            # a single-shot stage sample can read 5-10x high (BENCH_r03 dev
+            # runs saw walk_ms 250 for a 23 ms walk). Min over a few runs.
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.time()
+                f()
+                best = min(best, time.time() - t0)
+            return round(best * 1e3, 1)
+
         if native.available():
-            t0 = time.time()
-            native.sparse_scan(info.scan_data, n_mcu, mcu_layout, info.htables,
-                               info.restart_interval)
-            dec_stages["walk_ms"] = round((time.time() - t0) * 1e3, 1)
-        # full entropy stage (host index + upload + device AC program)
-        t0 = time.time()
-        zz = _decode_scan(info, n_mcu, mcu_layout, entropy)
-        if not isinstance(zz[0], np.ndarray):
-            sync(zz[0])
-        dec_stages["entropy_ms"] = round((time.time() - t0) * 1e3, 1)
+            dec_stages["walk_ms"] = best_of(lambda: native.sparse_scan(
+                info.scan_data, n_mcu, mcu_layout, info.htables,
+                info.restart_interval))
+
+        # full entropy stage (host walk + upload + device densify)
+        def entropy_stage():
+            zz = _decode_scan(info, n_mcu, mcu_layout, entropy)
+            if not isinstance(zz[0], np.ndarray):
+                sync(zz[0])
+            return zz
+
+        zz = entropy_stage()
+        dec_stages["entropy_ms"] = best_of(entropy_stage, 2)
         # finishing program alone (pipelined)
         comps_i = info.components
         shapes = tuple((mcu_rows * c.v, mcu_cols * c.h) for c in comps_i)
@@ -330,6 +367,8 @@ def child(platform: str) -> None:
         result["decode_mpix_s"] = round(dec_resident_rate, 2)
     if dec_sustained_rate is not None:
         result["decode_pipelined_mpix_s"] = round(dec_sustained_rate, 2)
+    if dec_batched_rate is not None:
+        result["decode_batched_mpix_s"] = round(dec_batched_rate, 2)
     if dec_rate is not None:
         result["decode_to_host_mpix_s"] = round(dec_rate, 2)
     if dec_scale8_rate is not None:

@@ -8,7 +8,7 @@ programs and entropy coding restructured for parallelism.
 """
 
 from jpeg_tpu.config import EncodeConfig, Subsampling  # noqa: F401
-from jpeg_tpu.models.decoder import decode  # noqa: F401
+from jpeg_tpu.models.decoder import decode, decode_batched  # noqa: F401
 from jpeg_tpu.models.encoder import encode, encode_bmp_to_jpeg, encode_rgb_to_jpeg  # noqa: F401
 from jpeg_tpu.models.multiscan import encode_noninterleaved  # noqa: F401
 

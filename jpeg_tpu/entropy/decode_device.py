@@ -491,31 +491,23 @@ def _jit_densify(B: int, Sp: int):
     return jax.jit(functools.partial(densify_body, B=B, Sp=Sp))
 
 
-def sparse_payload(
-    scan: bytes,
-    mcu_count: int,
-    mcu_layout: list,
-    htables: dict,
-    restart_interval: int,
-):
-    """Host half of the sparse backend: run native.sparse_scan and pack its
-    outputs into the single uint32 upload payload densify_body expects.
-    Returns (payload (np.uint32), B, Sp)."""
-    from jpeg_tpu.entropy import native
-
-    vals, ks, counts, dc = native.sparse_scan(
-        scan, mcu_count, mcu_layout, htables, restart_interval
-    )
-    B = counts.shape[0]
-    S = vals.shape[0]
-    # Bucket to 1/8-octave steps ((8..15) << e), strictly > S: a start offset
-    # exactly at S (empty tail blocks) must keep its mark past the last real
-    # element. Finer than power-of-two buckets because the padding is real
-    # upload bytes (<= 12.5% waste vs <= 100%), at ~8x the distinct jit
-    # geometries per octave — all persistent-cache-friendly.
+def sparse_bucket(S: int) -> int:
+    """Upload-size bucket for S sparse elements: 1/8-octave steps
+    ((8..15) << e), strictly > S — a start offset exactly at S (empty tail
+    blocks) must keep its mark past the last real element. Finer than
+    power-of-two buckets because the padding is real upload bytes (<= 12.5%
+    waste vs <= 100%), at ~8x the distinct jit geometries per octave — all
+    persistent-cache-friendly."""
     need = max(1024, S + 1)
     e = need.bit_length() - 4  # so that (8..16) << e covers `need`
-    Sp = -(-need >> e) << e
+    return -(-need >> e) << e
+
+
+def build_payload(vals, ks, counts, dc, Sp: int) -> np.ndarray:
+    """Pack native.sparse_scan outputs into the uint32 upload payload
+    densify_body expects ([counts u8 | ks u8 | vals i16 | dc i32])."""
+    B = counts.shape[0]
+    S = vals.shape[0]
     cw = (B + 3) // 4
     kw = Sp // 4
     vw = Sp // 2
@@ -531,7 +523,26 @@ def sparse_payload(
     vbuf[:S] = vals
     payload[cw + kw:cw + kw + vw] = vbuf.view(np.uint32)
     payload[cw + kw + vw:] = dc.view(np.uint32)
-    return payload, B, Sp
+    return payload
+
+
+def sparse_payload(
+    scan: bytes,
+    mcu_count: int,
+    mcu_layout: list,
+    htables: dict,
+    restart_interval: int,
+):
+    """Host half of the sparse backend: run native.sparse_scan and pack its
+    outputs into the single uint32 upload payload densify_body expects.
+    Returns (payload (np.uint32), B, Sp)."""
+    from jpeg_tpu.entropy import native
+
+    vals, ks, counts, dc = native.sparse_scan(
+        scan, mcu_count, mcu_layout, htables, restart_interval
+    )
+    Sp = sparse_bucket(vals.shape[0])
+    return build_payload(vals, ks, counts, dc, Sp), counts.shape[0], Sp
 
 
 def decode_scan_sparse(

@@ -190,14 +190,13 @@ def _jit_finish_color(shapes, factors, fancy=(True, True, True),
     )
 
 
-@functools.cache
-def _jit_finish_color_sparse(B, Sp, comp_ranges, raster_geo, shapes, factors,
-                             fancy, use_pallas, is_rgb, k):
-    """Whole sparse decode as ONE device program: densify the uploaded sparse
-    payload, split/reorder per component (scan order -> plane raster order,
-    reshape+transpose only), then the standard color finishing. Fusing these
-    saves the per-dispatch tunnel cost of the separate densify, eager raster
-    ops and finish calls (~22 ms EACH in this container).
+def _sparse_finish_program(B, Sp, comp_ranges, raster_geo, shapes, factors,
+                           fancy, use_pallas, is_rgb, k):
+    """Whole sparse decode as ONE traceable program: densify the uploaded
+    sparse payload, split/reorder per component (scan order -> plane raster
+    order, reshape+transpose only), then the standard color finishing. Fusing
+    these saves the per-dispatch tunnel cost of the separate densify, eager
+    raster ops and finish calls (~22 ms EACH in this container).
 
     comp_ranges: per-component (lo, hi) block slices of the densified rows.
     raster_geo: per-component (mcu_rows, mcu_cols, v, h) or None when the
@@ -215,7 +214,32 @@ def _jit_finish_color_sparse(B, Sp, comp_ranges, raster_geo, shapes, factors,
                              factors=factors, fancy=fancy,
                              use_pallas=use_pallas, is_rgb=is_rgb, k=k)
 
-    return jax.jit(program)
+    return program
+
+
+@functools.cache
+def _jit_finish_color_sparse(B, Sp, comp_ranges, raster_geo, shapes, factors,
+                             fancy, use_pallas, is_rgb, k):
+    return jax.jit(_sparse_finish_program(
+        B, Sp, comp_ranges, raster_geo, shapes, factors, fancy, use_pallas,
+        is_rgb, k,
+    ))
+
+
+@functools.cache
+def _jit_finish_color_sparse_batch(B, Sp, comp_ranges, raster_geo, shapes,
+                                   factors, fancy, use_pallas, is_rgb, k):
+    """K-image sparse decode as ONE device program: vmap of the fused
+    densify+reorder+finish over stacked (K, L) payloads — the decode twin of
+    the encoder's batched packed program (amortizes the fixed per-dispatch
+    cost across K images)."""
+    return jax.jit(jax.vmap(
+        _sparse_finish_program(
+            B, Sp, comp_ranges, raster_geo, shapes, factors, fancy,
+            use_pallas, is_rgb, k,
+        ),
+        in_axes=(0, None, None, None),
+    ))
 
 
 @functools.cache
@@ -497,4 +521,108 @@ def decode(data: bytes, fancy_upsample: bool = True,
     )
     out = out[: layout.ceil_div(info.height, scale_denom),
               : layout.ceil_div(info.width, scale_denom)]
+    return out if device_output else np.asarray(out)
+
+
+def decode_batched(datas, fancy_upsample: bool = True,
+                   device_output: bool = False,
+                   scale_denom: int = 1) -> np.ndarray:
+    """Decode K same-geometry baseline JPEGs with ONE device program.
+
+    The decode twin of the encoder's batched packed program (single-chip
+    dispatch-floor amortization): each stream's entropy layer is resolved on
+    the host by the sparse C++ walk (threaded across streams), the K payloads
+    are padded to one size bucket and uploaded as a single (K, L) array, and
+    a vmapped fused program densifies, reorders and finishes every image in
+    one dispatch. Bit-identical to per-image decode().
+
+    Requirements: native runtime available; homogeneous 3-component
+    single-scan interleaved sequential streams — identical geometry, sampling
+    factors and quant tables (Huffman tables may differ per stream; they feed
+    only the host walk). Returns (K, ceil(H/scale_denom),
+    ceil(W/scale_denom), 3) uint8 (or the device array with device_output).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if scale_denom not in (1, 2, 4, 8):
+        raise ValueError(f"scale_denom must be 1, 2, 4 or 8, got {scale_denom}")
+    if not datas:
+        raise ValueError("decode_batched needs at least one stream")
+    if not native.available():
+        raise jfif.JpegFormatError(
+            "decode_batched requires the native entropy runtime"
+        )
+    k = 8 // scale_denom
+    infos = [jfif.parse_jpeg(d) for d in datas]
+    i0 = infos[0]
+    comps = i0.components
+    if len(comps) != 3:
+        raise ValueError("decode_batched needs 3-component streams")
+    for info in infos:
+        if info.progressive or len(info.scans) != 1 or len(
+            info.scans[0].comp_ids
+        ) != len(comps):
+            raise ValueError(
+                "decode_batched needs single-scan interleaved baseline streams"
+            )
+        if any(c.dc_id != c.ac_id or c.dc_id not in (0, 1)
+               for c in info.components):
+            raise ValueError("decode_batched needs table ids 0/1 per component")
+    for info in infos[1:]:
+        same = (
+            (info.width, info.height) == (i0.width, i0.height)
+            and [(c.h, c.v, c.qtab_id) for c in info.components]
+            == [(c.h, c.v, c.qtab_id) for c in comps]
+            and all(np.array_equal(info.qtables[t], i0.qtables[t])
+                    for t in i0.qtables)
+        )
+        if not same:
+            raise ValueError("decode_batched requires homogeneous streams")
+
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcu_rows = layout.ceil_div(i0.height, 8 * vmax)
+    mcu_cols = layout.ceil_div(i0.width, 8 * hmax)
+    n_mcu = mcu_rows * mcu_cols
+    mcu_layout = [
+        (i, c.h * c.v, c.dc_id, c.ac_id) for i, c in enumerate(comps)
+    ]
+
+    # Host sparse walks, threaded across streams (each walk also threads
+    # across its own restart segments; restart-free streams are serial per
+    # stream, so stream-level threading is what overlaps them).
+    def walk(info):
+        return native.sparse_scan(
+            info.scan_data, n_mcu, mcu_layout, info.htables,
+            info.restart_interval,
+        )
+
+    with ThreadPoolExecutor(min(4, max(1, len(infos)))) as pool:
+        walks = list(pool.map(walk, infos))
+    Sp = decode_device.sparse_bucket(max(w[0].shape[0] for w in walks))
+    payloads = np.stack(
+        [decode_device.build_payload(*w, Sp) for w in walks]
+    )
+    B = walks[0][2].shape[0]
+
+    ranges, geo, base = [], [], 0
+    for c in comps:
+        bpm = c.h * c.v
+        ranges.append((base, base + bpm * n_mcu))
+        geo.append((mcu_rows, mcu_cols, c.v, c.h) if bpm > 1 else None)
+        base += bpm * n_mcu
+    shapes = tuple((mcu_rows * c.v, mcu_cols * c.h) for c in comps)
+    factors = tuple((hmax // c.h, vmax // c.v) for c in comps)
+    fancy = upsample_choices(i0.width, comps, hmax, fancy_upsample)
+    qtabs = [jnp.asarray(i0.qtables[c.qtab_id]) for c in comps]
+    is_rgb = i0.adobe_transform == 0 or (
+        i0.adobe_transform is None
+        and tuple(c.comp_id for c in comps) == (0x52, 0x47, 0x42)
+    )
+    out = _jit_finish_color_sparse_batch(
+        B, Sp, tuple(ranges), tuple(geo), shapes, factors, fancy,
+        False, is_rgb, k,
+    )(jnp.asarray(payloads), *qtabs)
+    out = out[:, : layout.ceil_div(i0.height, scale_denom),
+              : layout.ceil_div(i0.width, scale_denom)]
     return out if device_output else np.asarray(out)

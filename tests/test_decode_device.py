@@ -204,6 +204,37 @@ def test_sparse_fused_scaled_and_device_output(tiger):
     np.testing.assert_array_equal(np.asarray(out), decode(data, entropy="numpy"))
 
 
+def test_decode_batched_matches_per_image(tiger):
+    """decode_batched: K streams through ONE vmapped fused program ==
+    per-image decode, including with per-stream optimized Huffman tables and
+    scaled decode."""
+    from jpeg_tpu.models.decoder import decode_batched
+
+    imgs = [tiger, tiger[::-1].copy(), 255 - tiger]
+    datas = [
+        encoder.encode(im, quality=80, subsampling="4:2:0",
+                       restart_interval=r, optimize_tables=opt)
+        for im, r, opt in zip(imgs, (0, 5, 0), (False, False, True))
+    ]
+    got = decode_batched(datas)
+    for d, g in zip(datas, got):
+        np.testing.assert_array_equal(g, decode(d, entropy="numpy"))
+    s4 = decode_batched(datas, scale_denom=4)
+    for d, g in zip(datas, s4):
+        np.testing.assert_array_equal(g, decode(d, entropy="numpy",
+                                                scale_denom=4))
+
+    with pytest.raises(ValueError):
+        decode_batched(datas[:1] + [
+            encoder.encode(tiger, quality=50, subsampling="4:2:0")
+        ])  # different quant tables
+    with pytest.raises(ValueError):
+        decode_batched([
+            encoder.encode(tiger, quality=80, subsampling="4:4:4"),
+            datas[0],
+        ])  # different sampling
+
+
 def test_sparse_scan_payload_contract(tiger):
     """native.sparse_scan's (vals, ks, counts, dc) reassemble into exactly the
     dense blocks the full native decoder produces."""
