@@ -168,6 +168,12 @@ def child(platform: str) -> None:
             assert tb.shape[0] == KB and int(tb[0, 0]) == int(tb[1, 0])
             log(f"encode (batched x{KB} per dispatch): {bat_s*1e3:.1f} ms/img "
                 f"-> {batched_rate:.1f} MPix/s (device program only)")
+            # A pipelined-batched composition (drain K scans per batch on
+            # threads while the next batch runs) was measured at 33-47
+            # MPix/s end-to-end — WORSE than the single-image pipeline:
+            # every slice fetch is a device program that enqueues behind the
+            # next batch program on this in-order tunnel. Right shape for a
+            # PCIe host, wrong one here; see DESIGN §6.
         except Exception as e:
             log(f"batched encode failed: {type(e).__name__}: {e}")
 
@@ -209,6 +215,20 @@ def child(platform: str) -> None:
         log(f"encode stages: {stages}")
     except Exception as e:
         log(f"stage breakdown failed: {type(e).__name__}: {e}")
+
+    # Interim result: if the tunnel wedges during the decode half and the
+    # watchdog kills this child, the parent salvages this line.
+    tag0 = "device-resident sustained" if use_device_pack else "host"
+    interim = {
+        "metric": f"4K q75 4:2:0 encode to JFIF bytes ({tag0}, {platform})",
+        "value": round(enc_rate, 2),
+        "unit": "MPix/s",
+        "vs_baseline": round(enc_rate / BASELINE_MPIX_S, 1),
+        "encode_latency_ms": round(lat_s * 1e3, 1),
+        "encode_stages": stages,
+        "partial": "decode section not reached",
+    }
+    print(json.dumps(interim), flush=True)
 
     # --- decode: device-resident (pixels stay in HBM — the serving case) ---
     dec_rate = dec_resident_rate = dec_scale8_rate = dec_sustained_rate = None
@@ -254,12 +274,9 @@ def child(platform: str) -> None:
                 batch_jpgs = [jpg] * KBD
                 sync(decode_batched(batch_jpgs, device_output=True))  # warm
                 t0 = time.time()
-                reps = 2
-                obd = None
-                for _ in range(reps):
-                    obd = decode_batched(batch_jpgs, device_output=True)
+                obd = decode_batched(batch_jpgs, device_output=True)
                 sync(obd)
-                bat_s = (time.time() - t0) / (reps * KBD)
+                bat_s = (time.time() - t0) / KBD
                 dec_batched_rate = mpix / bat_s
                 log(f"decode (batched x{KBD} per dispatch): {bat_s*1e3:.1f} "
                     f"ms/img -> {dec_batched_rate:.1f} MPix/s")
@@ -390,21 +407,30 @@ def main() -> int:
     best = None
     for platform, timeout in attempts:
         log(f"--- bench attempt: {platform} (timeout {timeout}s) ---")
+        rc = 0
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child", platform],
                 capture_output=True, text=True, timeout=timeout,
             )
-        except subprocess.TimeoutExpired:
-            log(f"{platform} attempt timed out")
-            continue
-        sys.stderr.write(proc.stderr)
+            stdout, stderr, rc = proc.stdout, proc.stderr, proc.returncode
+        except subprocess.TimeoutExpired as e:
+            # The tunnel can wedge for minutes mid-run; salvage any JSON the
+            # child already printed rather than losing the attempt.
+            log(f"{platform} attempt timed out; salvaging partial output")
+            stdout = e.stdout or ""
+            stderr = e.stderr or ""
+            if isinstance(stdout, bytes):
+                stdout = stdout.decode(errors="replace")
+            if isinstance(stderr, bytes):
+                stderr = stderr.decode(errors="replace")
+        sys.stderr.write(stderr)
         line = None
-        for ln in proc.stdout.splitlines():
+        for ln in stdout.splitlines():
             ln = ln.strip()
             if ln.startswith("{") and '"metric"' in ln:
                 line = ln
-        if proc.returncode == 0 and line:
+        if rc == 0 and line:
             result = json.loads(line)
             log(f"{platform} result: {result['value']} {result['unit']}")
             if best is None or result["value"] > best["value"]:

@@ -209,6 +209,18 @@ def decode_progressive(info, backend: str = "auto") -> list[np.ndarray]:
             )
         if ss != 0 and len(scan.comp_ids) != 1:
             raise jfif.JpegFormatError("interleaved progressive AC scan")
+        # Every scan kind except DC refinement (ss==0, ah>0 — raw bits only)
+        # reads Huffman codes; the referenced tables must exist (a corrupt
+        # SOS can name an undefined slot — surface a format error, not a
+        # KeyError).
+        if not (ss == 0 and ah != 0):
+            for _cid, dc_id, ac_id in scan.comp_ids:
+                key = (0, dc_id) if ss == 0 else (1, ac_id)
+                if key not in scan.htables:
+                    raise jfif.JpegFormatError(
+                        f"scan references undefined Huffman table "
+                        f"{'AC' if key[0] else 'DC'} {key[1]}"
+                    )
 
         if backend == "native":
             _native_scan(scan, grids, dims, by_id, mcu_rows, mcu_cols)

@@ -272,6 +272,13 @@ def _decode_scan(info: jfif.FrameInfo, n_mcu: int, mcu_layout: list,
     runs the jitted per-restart-segment decoder, "indexed" the hybrid
     host-index + parallel-device-block decoder, "sparse" the host sparse walk
     + device densify (decode_device)."""
+    for (_comp, _bpm, dc, ac) in mcu_layout:
+        for key in ((0, dc), (1, ac)):
+            if key not in info.htables:
+                raise jfif.JpegFormatError(
+                    f"scan references undefined Huffman table "
+                    f"{'AC' if key[0] else 'DC'} {key[1]}"
+                )
     if entropy == "device":
         return decode_device.decode_scan(
             info.scan_data, n_mcu, mcu_layout, info.htables,
@@ -448,6 +455,7 @@ def decode(data: bytes, fancy_upsample: bool = True,
             len(comps) == 3
             and native.available()
             and all(dc == ac and dc in (0, 1)
+                    and (0, dc) in info.htables and (1, ac) in info.htables
                     for (_, _, dc, ac) in mcu_layout)
             and (entropy == "sparse" or (
                 entropy == "auto" and jax.default_backend() != "cpu"
@@ -568,6 +576,13 @@ def decode_batched(datas, fancy_upsample: bool = True,
         if any(c.dc_id != c.ac_id or c.dc_id not in (0, 1)
                for c in info.components):
             raise ValueError("decode_batched needs table ids 0/1 per component")
+        for c in info.components:
+            if (0, c.dc_id) not in info.htables or (
+                1, c.ac_id
+            ) not in info.htables:
+                raise jfif.JpegFormatError(
+                    "scan references undefined Huffman table"
+                )
     for info in infos[1:]:
         same = (
             (info.width, info.height) == (i0.width, i0.height)

@@ -258,7 +258,15 @@ def _jit_color_packed_batch(mode: Subsampling, restart_mcus: int):
     """K-image packed encode as ONE device program: vmap over a stacked
     (K, H, W, 3) batch. Amortizes the fixed per-dispatch cost (probe-measured
     at ~22 ms through this container's tunnel — VERDICT r2 item 2) across K
-    images; output shapes grow a leading K axis."""
+    images; output shapes grow a leading K axis.
+
+    Bit-stability note (measured, 2026-08-20): on TPU this executable's
+    streams are deterministic and identical across the batch, but may differ
+    from the batch-1 program's bytes by a handful of coefficients — XLA fuses
+    the transform conv differently in the two executables and a .5-boundary
+    rounding can flip (the standalone transform compared bit-exact; the
+    divergence appears only between the fused programs). CPU is exact
+    (tests/test_bitpack.py pins batched == single there)."""
     f = functools.partial(
         _transform_color_packed, mode=mode, restart_mcus=restart_mcus
     )

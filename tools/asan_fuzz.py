@@ -27,12 +27,24 @@ for trial in range(20):
         luts = {k: decode_np.make_decode_lut(t) for k, t in huff.items()}
         ref = decode_np.decode_scan(a, n, lay, luts, r)
         np.testing.assert_array_equal(out[0], ref[0])
+        # sparse walker differential: densified == the dense decoder
+        vals, ks, counts, dc = native.sparse_scan(a, n, lay, huff, r)
+        dense = np.zeros((n, 64), dtype=np.int32)
+        dense[:, 0] = dc
+        bid = np.repeat(np.arange(n), counts)
+        dense[bid, ks.astype(np.int64)] = vals
+        np.testing.assert_array_equal(dense, ref[0])
 # corrupt-stream decodes (must error or return, never crash/overflow)
 for trial in range(30):
     data = rng.integers(0, 256, size=int(rng.integers(1, 200))).astype(np.uint8).tobytes()
     try:
         native.decode_scan(data, 50, [(0, 1, 0, 0)], huff, int(rng.integers(0, 5)))
     except ValueError:
+        pass
+    try:
+        native.sparse_scan(data, 50, [(0, 1, 0, 0)], huff,
+                           int(rng.integers(0, 5)))
+    except Exception:
         pass
 
 # ---- progressive (SOF2) walker: differential + corruption under ASan ------
