@@ -190,8 +190,8 @@ def _jit_finish_color(shapes, factors, fancy=(True, True, True),
     )
 
 
-def _sparse_finish_program(B, Sp, comp_ranges, raster_geo, shapes, factors,
-                           fancy, use_pallas, is_rgb, k):
+def _sparse_finish_program(B, Sp, Ep, comp_ranges, raster_geo, shapes,
+                           factors, fancy, use_pallas, is_rgb, k):
     """Whole sparse decode as ONE traceable program: densify the uploaded
     sparse payload, split/reorder per component (scan order -> plane raster
     order, reshape+transpose only), then the standard color finishing. Fusing
@@ -203,7 +203,7 @@ def _sparse_finish_program(B, Sp, comp_ranges, raster_geo, shapes, factors,
     component has one block per MCU (already raster-ordered)."""
 
     def program(payload, qy, qcb, qcr):
-        rows = decode_device.densify_body(payload, B, Sp)
+        rows = decode_device.densify_body(payload, B, Sp, Ep)
         zz = []
         for (lo, hi), geo in zip(comp_ranges, raster_geo):
             s = rows[lo:hi]
@@ -218,24 +218,25 @@ def _sparse_finish_program(B, Sp, comp_ranges, raster_geo, shapes, factors,
 
 
 @functools.cache
-def _jit_finish_color_sparse(B, Sp, comp_ranges, raster_geo, shapes, factors,
-                             fancy, use_pallas, is_rgb, k):
+def _jit_finish_color_sparse(B, Sp, Ep, comp_ranges, raster_geo, shapes,
+                             factors, fancy, use_pallas, is_rgb, k):
     return jax.jit(_sparse_finish_program(
-        B, Sp, comp_ranges, raster_geo, shapes, factors, fancy, use_pallas,
-        is_rgb, k,
+        B, Sp, Ep, comp_ranges, raster_geo, shapes, factors, fancy,
+        use_pallas, is_rgb, k,
     ))
 
 
 @functools.cache
-def _jit_finish_color_sparse_batch(B, Sp, comp_ranges, raster_geo, shapes,
-                                   factors, fancy, use_pallas, is_rgb, k):
+def _jit_finish_color_sparse_batch(B, Sp, Ep, comp_ranges, raster_geo,
+                                   shapes, factors, fancy, use_pallas,
+                                   is_rgb, k):
     """K-image sparse decode as ONE device program: vmap of the fused
     densify+reorder+finish over stacked (K, L) payloads — the decode twin of
     the encoder's batched packed program (amortizes the fixed per-dispatch
     cost across K images)."""
     return jax.jit(jax.vmap(
         _sparse_finish_program(
-            B, Sp, comp_ranges, raster_geo, shapes, factors, fancy,
+            B, Sp, Ep, comp_ranges, raster_geo, shapes, factors, fancy,
             use_pallas, is_rgb, k,
         ),
         in_axes=(0, None, None, None),
@@ -442,7 +443,7 @@ def decode(data: bytes, fancy_upsample: bool = True,
     if sum(c.h * c.v for c in comps) > 10:
         raise jfif.JpegFormatError("more than 10 blocks per MCU (spec B.2.3)")
 
-    sparse_fused = None  # (payload, B, Sp) when the one-program path applies
+    sparse_fused = None  # (payload, B, Sp, Ep) for the one-program path
     if info.progressive:
         zz = progressive_np.decode_progressive(
             info, backend=_progressive_backend(entropy)
@@ -509,7 +510,7 @@ def decode(data: bytes, fancy_upsample: bool = True,
         and tuple(c.comp_id for c in comps) == (0x52, 0x47, 0x42)
     )
     if sparse_fused is not None:
-        payload, B, Sp = sparse_fused
+        payload, B, Sp, Ep = sparse_fused
         ranges, geo, base = [], [], 0
         for c in comps:
             bpm = c.h * c.v
@@ -517,7 +518,7 @@ def decode(data: bytes, fancy_upsample: bool = True,
             geo.append((mcu_rows, mcu_cols, c.v, c.h) if bpm > 1 else None)
             base += bpm * n_mcu
         out = _jit_finish_color_sparse(
-            B, Sp, tuple(ranges), tuple(geo), shapes, factors, fancy,
+            B, Sp, Ep, tuple(ranges), tuple(geo), shapes, factors, fancy,
             bool(use_pallas), is_rgb, k,
         )(jnp.asarray(payload), *qtabs)
         out = out[: layout.ceil_div(info.height, scale_denom),
@@ -615,8 +616,12 @@ def decode_batched(datas, fancy_upsample: bool = True,
     with ThreadPoolExecutor(min(4, max(1, len(infos)))) as pool:
         walks = list(pool.map(walk, infos))
     Sp = decode_device.sparse_bucket(max(w[0].shape[0] for w in walks))
+    Ep = decode_device.exception_bucket(max(
+        int(np.count_nonzero(np.abs(w[0].astype(np.int32)) > 127))
+        for w in walks
+    ))
     payloads = np.stack(
-        [decode_device.build_payload(*w, Sp) for w in walks]
+        [decode_device.build_payload(*w, Sp, Ep) for w in walks]
     )
     B = walks[0][2].shape[0]
 
@@ -635,7 +640,7 @@ def decode_batched(datas, fancy_upsample: bool = True,
         and tuple(c.comp_id for c in comps) == (0x52, 0x47, 0x42)
     )
     out = _jit_finish_color_sparse_batch(
-        B, Sp, tuple(ranges), tuple(geo), shapes, factors, fancy,
+        B, Sp, Ep, tuple(ranges), tuple(geo), shapes, factors, fancy,
         False, is_rgb, k,
     )(jnp.asarray(payloads), *qtabs)
     out = out[:, : layout.ceil_div(i0.height, scale_denom),
