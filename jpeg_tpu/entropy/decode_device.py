@@ -436,7 +436,8 @@ def decode_scan_indexed(
 # masks — the same masked-reduce shape as the encoder's level-1 pack. No
 # serial symbol chain on device at all: the per-symbol while_loop kernel's
 # measured v5e floor was ~164 ms on a 4K stream (tools/tpu_probe7g.py, x4
-# unrolled) while this program is pure VPU work on ~3 B per coefficient.
+# unrolled) while this program is pure VPU work on ~2 B per coefficient
+# (int8 value + uint8 position; |v| > 127 via a small exception stream).
 # Upload is ONE device_put (~2 MB for a 4K q75 stream vs 12 MB dense).
 # ---------------------------------------------------------------------------
 

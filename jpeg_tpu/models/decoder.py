@@ -265,7 +265,7 @@ def _decode_scan(info: jfif.FrameInfo, n_mcu: int, mcu_layout: list,
 
     "auto": the sparse backend when a non-CPU device is attached and the
     layout allows (host C++ resolves the entropy layer in one walk, the
-    device densifies — ~3 B per nonzero coefficient crosses the link instead
+    device densifies — ~2 B per nonzero coefficient crosses the link instead
     of 128 B/block of dense coefficients), else the native (C++ thread pool)
     runtime when the layout allows (table ids 0/1, dc_id == ac_id — always
     true for our own streams), else the NumPy decoder.

@@ -567,7 +567,7 @@ long jt_index_scan(const uint8_t* data, long dlen, long mcu_count,
 // decode_scan_sparse): one walk over the scan that fully resolves the entropy
 // layer on the host — absolute DC per block plus the nonzero AC coefficients
 // as (value, zig-zag position) pairs — leaving the device a single dense
-// gather-free densify + finish program. ~3 B per nonzero coefficient crosses
+// gather-free densify + finish program. ~2-3 B per nonzero coefficient cross
 // the host link (vs 128 B/block of dense coefficients), and the device spends
 // no time in a serial symbol chain at all: the measured v5e floor for the
 // per-symbol while_loop kernel was ~164 ms on a 4K stream
