@@ -248,6 +248,19 @@ def _jit_finish_gray(shape, k=8):
     return jax.jit(functools.partial(_finish_gray, shape=shape, k=k))
 
 
+@functools.cache
+def _jit_finish_gray_sparse(B, Sp, Ep, shape, k):
+    """Gray twin of _jit_finish_color_sparse: densify the sparse payload and
+    finish in ONE device program (no raster reorder — single-component scans
+    are one block per MCU in plane order)."""
+
+    def program(payload, qy):
+        rows = decode_device.densify_body(payload, B, Sp, Ep)
+        return _finish_gray(rows, qy, shape, k)
+
+    return jax.jit(program)
+
+
 def _progressive_backend(entropy: str) -> str:
     """Map decode()'s entropy selector onto the progressive scan walkers.
     Progressive has host backends only (numpy / native C++); the device
@@ -419,6 +432,30 @@ def decode(data: bytes, fancy_upsample: bool = True,
             )[0]
         else:
             mcu_layout = [(0, 1, comps[0].dc_id, comps[0].ac_id)]
+            c0 = comps[0]
+            use_sparse = (
+                native.available()
+                and c0.dc_id == c0.ac_id and c0.dc_id in (0, 1)
+                and (0, c0.dc_id) in info.htables
+                and (1, c0.ac_id) in info.htables
+                and (entropy == "sparse" or (
+                    entropy == "auto" and jax.default_backend() != "cpu"
+                ))
+            )
+            if use_sparse:
+                # One fused program: densify + gray finishing (the gray twin
+                # of the color path below — no raster reorder, one block/MCU).
+                payload, B, Sp, Ep = decode_device.sparse_payload(
+                    info.scan_data, n_mcu, mcu_layout, info.htables,
+                    info.restart_interval,
+                )
+                qy = jnp.asarray(info.qtables[c0.qtab_id])
+                out = _jit_finish_gray_sparse(
+                    B, Sp, Ep, (mcu_rows, mcu_cols), k
+                )(jnp.asarray(payload), qy)
+                out = out[: layout.ceil_div(info.height, scale_denom),
+                          : layout.ceil_div(info.width, scale_denom)]
+                return out if device_output else np.asarray(out)
             scan_blocks = _decode_scan(info, n_mcu, mcu_layout, entropy)[0]
         qy = jnp.asarray(info.qtables[comps[0].qtab_id])
         out = _jit_finish_gray((mcu_rows, mcu_cols), k)(

@@ -202,6 +202,13 @@ def test_sparse_fused_scaled_and_device_output(tiger):
     out = decode(data, entropy="sparse", device_output=True)
     assert isinstance(out, jnp.ndarray)
     np.testing.assert_array_equal(np.asarray(out), decode(data, entropy="numpy"))
+    # Gray fused twin, scaled and unscaled.
+    g = encoder.encode(tiger[..., 1], quality=70, restart_interval=3)
+    for sd in (1, 2):
+        np.testing.assert_array_equal(
+            decode(g, entropy="sparse", scale_denom=sd),
+            decode(g, entropy="numpy", scale_denom=sd),
+        )
 
 
 def test_decode_batched_matches_per_image(tiger):
