@@ -414,12 +414,16 @@ def main() -> int:
     # The parent prints the best result line as soon as each child finishes,
     # so a caller-level kill during the TPU attempt can never lose the CPU
     # line; the TPU window is sized for one tunnel wedge (~340 s observed)
-    # plus the measured sections.
-    attempts = [("cpu", 240), ("tpu", 620)]
+    # plus the measured sections, and a wedged-out first TPU attempt gets one
+    # retry (wedges observed to clear within minutes).
+    attempts = [("cpu", 240), ("tpu", 620), ("tpu", 620)]
     if os.environ.get("JPEG_TPU_BENCH_CPU_ONLY"):
         attempts = [("cpu", 240)]
     best = None
+    got = set()
     for platform, timeout in attempts:
+        if platform in got:
+            continue  # the retry slot is only for a wedged-out first attempt
         log(f"--- bench attempt: {platform} (timeout {timeout}s) ---")
         rc = 0
         try:
@@ -445,13 +449,14 @@ def main() -> int:
             if ln.startswith("{") and '"metric"' in ln:
                 line = ln
         if rc == 0 and line:
+            got.add(platform)
             result = json.loads(line)
             log(f"{platform} result: {result['value']} {result['unit']}")
             if best is None or result["value"] > best["value"]:
                 best = result
                 print(json.dumps(best), flush=True)
         else:
-            log(f"{platform} attempt failed (rc={proc.returncode})")
+            log(f"{platform} attempt failed (rc={rc})")
     if best is not None:
         return 0
     log("all attempts failed")
