@@ -121,7 +121,10 @@ def _stripe_step_packed(imgs, qy, qc, dc_code, dc_len, ac_code, ac_len, *,
         bits, nbits = bitpack.build_bitfields(
             blocks, tbl, dc_code, dc_len, ac_code, ac_len
         )
-        return bitpack.pack_bits(bits, nbits, nwords)
+        # Same three-level tree pack as the single-chip path (byte-identical
+        # to block grouping; probe 7i). Overflow (ok=False) already falls
+        # back to the host packer one level up (parallel/batch.py).
+        return bitpack.pack_bits_tree(bits, nbits, nwords, hv + 2)
 
     words, totals, ok = jax.vmap(pack_one)(y, cb, cr)
     return words, totals[:, None], ok[:, None]
