@@ -122,9 +122,15 @@ def _stripe_step_packed(imgs, qy, qc, dc_code, dc_len, ac_code, ac_len, *,
             blocks, tbl, dc_code, dc_len, ac_code, ac_len
         )
         # Same three-level tree pack as the single-chip path (byte-identical
-        # to block grouping; probe 7i). Overflow (ok=False) already falls
-        # back to the host packer one level up (parallel/batch.py).
-        return bitpack.pack_bits_tree(bits, nbits, nwords, hv + 2)
+        # to block grouping; probe 7i), with the MCU budget set to the full
+        # per-block worst case so this path keeps EXACTLY the block
+        # grouping's success envelope (the multichip dryrun asserts the
+        # device pack never overflows on its tiny noisy images). Level-2
+        # updates still drop ~(11*bpm -> bpm*9+2 per MCU).
+        return bitpack.pack_bits_tree(
+            bits, nbits, nwords, hv + 2,
+            mcu_words=(hv + 2) * bitpack.BLOCK_WORDS,
+        )
 
     words, totals, ok = jax.vmap(pack_one)(y, cb, cr)
     return words, totals[:, None], ok[:, None]
