@@ -190,10 +190,20 @@ def child(platform: str) -> None:
     # --- encode stage breakdown (pipelined x4 to cancel the dispatch floor) --
     stages = {}
     try:
-        t0 = time.time()
-        staged = jax.device_put(jnp.asarray(img))
-        sync(staged)
-        stages["h2d_ms"] = round((time.time() - t0) * 1e3, 1)
+        def best_of_stage(f, n=3):
+            # Single-shot transfer samples swing 2x between rounds while the
+            # tunnel drains prior traffic (BENCH_r03 h2d_ms read 1626 vs r2's
+            # 1431 for the same 24.9 MB) — min over a few runs, like the
+            # decode stages' best_of.
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.time()
+                f()
+                best = min(best, time.time() - t0)
+            return round(best * 1e3, 1)
+
+        stages["h2d_ms"] = best_of_stage(
+            lambda: sync(jax.device_put(img)))
 
         def timed_pipe(f, n=4):
             sync(f())
@@ -215,13 +225,12 @@ def child(platform: str) -> None:
             stages["pack_ms"] = round(full - stages["transform_ms"], 1)
             out = fn(dev_img, qy, qc, *luts)
             t = int(np.asarray(out[1])[0])
-            t0 = time.time()
+            stages["d2h_ms"] = best_of_stage(
+                lambda: np.asarray(out[0][0, : (t + 31) // 32]))
             w_host = np.asarray(out[0][0, : (t + 31) // 32])
-            stages["d2h_ms"] = round((time.time() - t0) * 1e3, 1)
-            t0 = time.time()
-            scan = bitpack.finalize_segment(w_host, t).tobytes()
-            jfif.write_jpeg(w, h, comps, {0: qy_np, 1: qc_np}, htables, scan)
-            stages["host_ms"] = round((time.time() - t0) * 1e3, 1)
+            stages["host_ms"] = best_of_stage(lambda: jfif.write_jpeg(
+                w, h, comps, {0: qy_np, 1: qc_np}, htables,
+                bitpack.finalize_segment(w_host, t).tobytes()))
         log(f"encode stages: {stages}")
     except Exception as e:
         log(f"stage breakdown failed: {type(e).__name__}: {e}")
@@ -434,8 +443,11 @@ def main() -> int:
             stdout, stderr, rc = proc.stdout, proc.stderr, proc.returncode
         except subprocess.TimeoutExpired as e:
             # The tunnel can wedge for minutes mid-run; salvage any JSON the
-            # child already printed rather than losing the attempt.
+            # child already printed rather than losing the attempt. rc=None
+            # marks the timeout so the platform is NOT recorded as completed
+            # (got) — the retry slot can still produce complete numbers.
             log(f"{platform} attempt timed out; salvaging partial output")
+            rc = None
             stdout = e.stdout or ""
             stderr = e.stderr or ""
             if isinstance(stdout, bytes):
@@ -448,8 +460,12 @@ def main() -> int:
             ln = ln.strip()
             if ln.startswith("{") and '"metric"' in ln:
                 line = ln
-        if rc == 0 and line:
-            got.add(platform)
+        if line:
+            if rc == 0:
+                got.add(platform)  # clean exit: complete numbers, skip retry
+            else:
+                log(f"{platform} salvaged interim line (rc={rc}); "
+                    "retry slot stays open")
             result = json.loads(line)
             log(f"{platform} result: {result['value']} {result['unit']}")
             if best is None or result["value"] > best["value"]:

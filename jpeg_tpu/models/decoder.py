@@ -584,8 +584,9 @@ def decode_batched(datas, fancy_upsample: bool = True,
 
     Requirements: native runtime available; homogeneous 3-component
     single-scan interleaved sequential streams — identical geometry, sampling
-    factors and quant tables (Huffman tables may differ per stream; they feed
-    only the host walk). Returns (K, ceil(H/scale_denom),
+    factors, quant tables, per-component Huffman table *ids*, component ids
+    and Adobe transform (Huffman table *contents* may differ per stream; they
+    feed only the host walk). Returns (K, ceil(H/scale_denom),
     ceil(W/scale_denom), 3) uint8 (or the device array with device_output).
     """
     from concurrent.futures import ThreadPoolExecutor
@@ -622,11 +623,22 @@ def decode_batched(datas, fancy_upsample: bool = True,
                     "scan references undefined Huffman table"
                 )
     for info in infos[1:]:
+        # Huffman table ids ARE part of the homogeneity key: mcu_layout is
+        # built once from stream 0 and drives every stream's sparse walk, so
+        # a stream with (dc_id, ac_id) assigned differently would be walked
+        # with the wrong tables (parse errors at best, silently wrong pixels
+        # at worst). Likewise adobe_transform / component ids select the
+        # color transform, which runs once for the whole batch.
         same = (
             (info.width, info.height) == (i0.width, i0.height)
-            and [(c.h, c.v, c.qtab_id) for c in info.components]
-            == [(c.h, c.v, c.qtab_id) for c in comps]
-            and all(np.array_equal(info.qtables[t], i0.qtables[t])
+            and [(c.h, c.v, c.qtab_id, c.dc_id, c.ac_id)
+                 for c in info.components]
+            == [(c.h, c.v, c.qtab_id, c.dc_id, c.ac_id) for c in comps]
+            and info.adobe_transform == i0.adobe_transform
+            and [c.comp_id for c in info.components]
+            == [c.comp_id for c in comps]
+            and all(t in info.qtables
+                    and np.array_equal(info.qtables[t], i0.qtables[t])
                     for t in i0.qtables)
         )
         if not same:

@@ -242,6 +242,52 @@ def test_decode_batched_matches_per_image(tiger):
         ])  # different sampling
 
 
+def _swap_huffman_ids(data: bytes) -> bytes:
+    """Swap Huffman table ids 0<->1 in every DHT header and SOS component
+    spec. The stream stays valid and decodes identically on its own — only
+    the id *assignment* differs."""
+    out = bytearray(data)
+    i = 2
+    while i < len(out):
+        assert out[i] == 0xFF
+        marker = out[i + 1]
+        if marker == 0xD9:
+            break
+        seg = (out[i + 2] << 8) | out[i + 3]
+        if marker == 0xC4:  # DHT: one or more (Tc<<4|Th, counts, syms)
+            j = i + 4
+            end = i + 2 + seg
+            while j < end:
+                out[j] ^= 1  # Th 0<->1
+                n = sum(out[j + 1 : j + 17])
+                j += 17 + n
+        elif marker == 0xDA:  # SOS: Ns, then (Cs, Td<<4|Ta) per component
+            ns = out[i + 4]
+            for c in range(ns):
+                out[i + 6 + 2 * c] ^= 0x11  # Td and Ta both 0<->1
+            break  # entropy-coded data follows; nothing else to patch
+        i += 2 + seg
+    return bytes(out)
+
+
+def test_decode_batched_rejects_swapped_table_ids(tiger):
+    """A stream with Huffman table ids swapped 0<->1 decodes identically on
+    its own but must NOT batch with a normal stream: mcu_layout is built once
+    from stream 0, so a mismatched id assignment would walk the second stream
+    with the wrong tables (ADVICE r3: silently wrong pixels in the worst
+    case)."""
+    from jpeg_tpu.models.decoder import decode_batched
+
+    normal = encoder.encode(tiger, quality=80, subsampling="4:2:0")
+    swapped = _swap_huffman_ids(normal)
+    assert swapped != normal
+    np.testing.assert_array_equal(
+        decode(swapped, entropy="numpy"), decode(normal, entropy="numpy")
+    )
+    with pytest.raises(ValueError, match="homogeneous"):
+        decode_batched([normal, swapped])
+
+
 def test_sparse_scan_payload_contract(tiger):
     """native.sparse_scan's (vals, ks, counts, dc) reassemble into exactly the
     dense blocks the full native decoder produces."""
