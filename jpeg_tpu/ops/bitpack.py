@@ -179,7 +179,117 @@ def _field_split(bits, nbits, starts):
     return hi, lo
 
 
-def pack_bits(bits, nbits, nwords: int, block_words: int = BLOCK_WORDS):
+def _subword_shift(buf, sbits):
+    """Shift each row of a (G, C) uint32 word buffer right by sbits (G, 1)
+    bits (0..31), i.e. toward later stream positions within its words:
+    out[j] = (buf[j] >> s) | (buf[j-1] << (32-s)). Returns (G, C+1) — the +1
+    lane catches the spill out of the last word. Shifts are clamped/masked
+    because XLA shifts >= bit width are undefined and the unselected
+    jnp.where branch is still evaluated."""
+    g = buf.shape[0]
+    zero = jnp.zeros((g, 1), jnp.uint32)
+    ext = jnp.concatenate([buf, zero], axis=1)
+    prev = jnp.concatenate([zero, buf], axis=1)
+    su = sbits.astype(jnp.uint32)
+    return (ext >> su) | jnp.where(
+        sbits > 0, prev << jnp.clip(32 - sbits, 0, 31).astype(jnp.uint32), 0
+    )
+
+
+def _tree_combine(buf, t):
+    """One level of the log-depth bitstream concatenation: pairs of (C,)-word
+    buffers with bit totals t become (2C,)-word buffers holding
+    left ++ right. G must be even; returns ((G/2, 2C) buffers, (G/2,) totals).
+
+    The right sibling lands at bit offset t_left: a sub-word shift by
+    t_left & 31 plus a word-level barrel shift by t_left >> 5 — the barrel is
+    log2(C)+1 static pad-shifts gated by jnp.where on the offset's bits, so
+    the whole level is dense vector work (pads + selects + shifts), with NO
+    scatter and NO data-dependent gather (the op classes the v5e serializes —
+    docs/DESIGN.md §6 round-3/4 log)."""
+    left, right = buf[0::2], buf[1::2]
+    tl, tr = t[0::2], t[1::2]
+    c = buf.shape[1]
+    rs = _subword_shift(right, (tl & 31)[:, None])  # (G/2, C+1)
+    rs = jnp.pad(rs, ((0, 0), (0, c - 1)))          # (G/2, 2C)
+    w = (tl >> 5)[:, None]                          # word offset, 0..C
+    b = 1
+    while b <= c:
+        shifted = jnp.pad(rs, ((0, 0), (b, 0)))[:, : 2 * c]
+        rs = jnp.where((w & b) != 0, shifted, rs)
+        b <<= 1
+    return jnp.pad(left, ((0, 0), (0, c))) | rs, tl + tr
+
+
+def concat_bitstreams_tree(buf, t, nwords: int):
+    """(G, C) uint32 per-group word buffers + (G,) bit totals -> one
+    (nwords,) uint32 big-endian stream by log2(G) pairwise shift-OR levels.
+
+    This replaces the former level-2 sorted segment-sum: TPU scatters run at
+    ~120M updates/s and the per-MCU scatter was ~19 ms of a 25.5 ms 4K pack
+    (BENCH_r03); the tree is pure pad/select/shift traffic (~2 x G x C words
+    per level, log2(G) levels) that XLA fuses into a few passes. Bit
+    placement is identical math, so streams are byte-identical to the
+    scatter formulation (tests pin this).
+
+    Capacity is exact by construction: every level doubles the per-group
+    capacity, so any stream whose groups fit their buffers fits the tree.
+    The result is sliced (or zero-padded) to nwords; bits beyond nwords*32
+    are dropped, matching the scatter mode="drop" semantics for overflow
+    streams (which set ok=False and are repacked on the host anyway)."""
+    g, c = buf.shape
+    t = t.astype(jnp.int32)
+    total = jnp.sum(t)
+    gp = 1 << max(0, (g - 1).bit_length())
+    if gp != g:
+        buf = jnp.pad(buf, ((0, gp - g), (0, 0)))
+        t = jnp.pad(t, (0, gp - g))
+    while buf.shape[0] > 1:
+        buf, t = _tree_combine(buf, t)
+    words = buf[0]
+    if words.shape[0] < nwords:
+        words = jnp.pad(words, (0, nwords - words.shape[0]))
+    else:
+        words = words[:nwords]
+    return words, total
+
+
+def _level2_segment_sum(buf, t, nwords: int):
+    """The round-3 level-2 formulation, kept for A/B probes and the identity
+    test: global bit offsets by prefix sum, sub-word shift each group buffer
+    into stream alignment, then one sorted segment-sum per word lane (base is
+    non-decreasing, so base+k is sorted for each k). Disjoint bit fields
+    cannot carry, so int32 adds equal the uint32 OR. Measured at ~120M
+    updates/s on the v5e — the scatter floor concat_bitstreams_tree removes.
+    Out-of-range contributions are dropped (ok=False streams are repacked on
+    the host, but the words stay bit-identical to scatter mode="drop")."""
+    t = t.astype(jnp.int32)
+    off = jnp.cumsum(t) - t
+    total = off[-1] + t[-1]
+    base = off >> 5
+    contrib = _subword_shift(buf, (off & 31).astype(jnp.int32)[:, None])
+    words = jnp.zeros(nwords, jnp.int32)
+    for k in range(contrib.shape[1]):
+        raw = base + k
+        val = jnp.where(raw < nwords, contrib[:, k], jnp.uint32(0))
+        words = words + jax.ops.segment_sum(
+            jax.lax.bitcast_convert_type(val, jnp.int32),
+            jnp.minimum(raw, nwords - 1),
+            num_segments=nwords, indices_are_sorted=True,
+        )
+    return jax.lax.bitcast_convert_type(words, jnp.uint32), total
+
+
+def _level2(buf, t, nwords: int, level2: str):
+    if level2 == "tree_or":
+        return concat_bitstreams_tree(buf, t, nwords)
+    if level2 == "segment_sum":
+        return _level2_segment_sum(buf, t, nwords)
+    raise ValueError(f"unknown level2 formulation: {level2!r}")
+
+
+def pack_bits(bits, nbits, nwords: int, block_words: int = BLOCK_WORDS,
+              level2: str = "tree_or"):
     """Assemble (B, R) per-group <=32-bit fields into an (nwords,) uint32
     big-endian word stream. Returns (words, total_bits, ok).
 
@@ -189,7 +299,7 @@ def pack_bits(bits, nbits, nwords: int, block_words: int = BLOCK_WORDS):
     ~4x — TPU scatters run at ~120M updates/s and dominated pack_ms
     (tools/tpu_probe7c.py) — at the cost of a wider level-1 reduce.
 
-    Two-level, scatter-light design (TPU scatter runs ~100M updates/s, far too
+    Two-level, scatter-free design (TPU scatter runs ~100M updates/s, far too
     slow for the ~37M raw fields of a 4K image; a searchsorted segment-sum is
     no better because large-table gathers are equally slow):
 
@@ -197,9 +307,10 @@ def pack_bits(bits, nbits, nwords: int, block_words: int = BLOCK_WORDS):
          masked reduction over the block's fields — XLA fuses the
          (B, R, BLOCK_WORDS) broadcast into the reduction, so this is pure
          dense VPU work;
-      2. global: block buffers are shifted by their global bit offset (prefix
-         sum over block bit totals) and scatter-added — only
-         (BLOCK_WORDS+2) updates per BLOCK, ~20x fewer than per-field.
+      2. global: group buffers concatenate by the log-depth shift-OR tree
+         (concat_bitstreams_tree) — round 4's replacement for the sorted
+         segment-sum scatter that was the r3 pack floor (~19 of 25.5 ms);
+         level2="segment_sum" keeps the old formulation for A/B.
 
     ok=False when any block overflowed BLOCK_WORDS*32 bits or the stream
     overflowed nwords; callers must then repack on the host.
@@ -223,51 +334,19 @@ def pack_bits(bits, nbits, nwords: int, block_words: int = BLOCK_WORDS):
         dtype=jnp.uint32,
     )  # (B, BLOCK_WORDS+1); the +1 lane catches lo spill of the last word
 
-    # Level 2: global bit offsets, shift each buffer into stream position.
-    off = jnp.cumsum(t_b) - t_b
-    total = off[-1] + t_b[-1]
-    base = off >> 5
-    s2 = (off & 31).astype(jnp.int32)
-
-    # contrib[k] = (buf[k] >> s2) | (buf[k-1] << (32-s2)), k = 0..BLOCK_WORDS+1
-    # (buf[-1] = buf[BLOCK_WORDS+1] = 0): the block's buffer re-aligned to its
-    # global bit offset.
-    zero_col = jnp.zeros((nblocks, 1), jnp.uint32)
-    buf_ext = jnp.concatenate([buf, zero_col], axis=1)
-    buf_prev = jnp.concatenate([zero_col, buf], axis=1)
-    s2c = s2[:, None]
-    contrib = (buf_ext >> s2c.astype(jnp.uint32)) | jnp.where(
-        s2c > 0, buf_prev << jnp.clip(32 - s2c, 0, 31).astype(jnp.uint32), 0
-    )  # (B, BLOCK_WORDS+2)
-
-    # Scatter-add, decomposed by word-lane k: base is non-decreasing, so
-    # base+k is a SORTED index vector for each k — 12 sorted segment-sums
-    # lower to scan-style reductions instead of one big unsorted scatter.
-    # Disjoint bit fields cannot carry, so int32 adds equal the uint32 OR.
-    words = jnp.zeros(nwords, jnp.int32)
-    ncols = contrib.shape[1]
-    for k in range(ncols):
-        raw = base + k
-        # Drop out-of-range contributions (overflow streams set ok=False and
-        # are repacked on the host, but the words must stay bit-identical to
-        # the scatter mode="drop" semantics the tests pin).
-        val = jnp.where(raw < nwords, contrib[:, k], jnp.uint32(0))
-        words = words + jax.ops.segment_sum(
-            jax.lax.bitcast_convert_type(val, jnp.int32),
-            jnp.minimum(raw, nwords - 1),
-            num_segments=nwords, indices_are_sorted=True,
-        )
-    words = jax.lax.bitcast_convert_type(words, jnp.uint32)
-
+    # Level 2: concatenate the group buffers into the stream.
+    words, total = _level2(buf, t_b, nwords, level2)
     ok = (jnp.max(t_b) <= block_words * 32) & (total <= nwords * 32)
     return words, total, ok
 
 
 def pack_bits_tree(bits, nbits, nwords: int, bpm: int,
-                   block_words: int = BLOCK_WORDS, mcu_words: int | None = None):
+                   block_words: int = BLOCK_WORDS, mcu_words: int | None = None,
+                   level2: str = "tree_or"):
     """Three-level pack: per-BLOCK one-hot reduce (narrow), shift-combine the
-    MCU's blocks into a per-MCU buffer, then the per-MCU sorted segment-sum of
-    pack_bits. Same (words, total, ok) contract as pack_bits.
+    MCU's blocks into a per-MCU buffer, then the per-MCU log-depth shift-OR
+    tree (concat_bitstreams_tree). Same (words, total, ok) contract as
+    pack_bits.
 
     Motivation (probe-driven): grouping whole MCUs in pack_bits widens level
     1's masked reduce to the MCU word budget over EVERY field —
@@ -322,28 +401,7 @@ def pack_bits_tree(bits, nbits, nwords: int, bpm: int,
     )  # (nm, mcu_words+1)
 
     # Level 2: identical to pack_bits, at MCU granularity.
-    off = jnp.cumsum(t_m) - t_m
-    total = off[-1] + t_m[-1]
-    base = off >> 5
-    s2 = (off & 31).astype(jnp.int32)
-    zc = jnp.zeros((nm, 1), jnp.uint32)
-    mb_ext = jnp.concatenate([mcu_buf, zc], axis=1)
-    mb_prev = jnp.concatenate([zc, mcu_buf], axis=1)
-    s2c = s2[:, None]
-    contrib = (mb_ext >> s2c.astype(jnp.uint32)) | jnp.where(
-        s2c > 0, mb_prev << jnp.clip(32 - s2c, 0, 31).astype(jnp.uint32), 0
-    )  # (nm, mcu_words+2)
-    words = jnp.zeros(nwords, jnp.int32)
-    for k in range(contrib.shape[1]):
-        raw = base + k
-        val = jnp.where(raw < nwords, contrib[:, k], jnp.uint32(0))
-        words = words + jax.ops.segment_sum(
-            jax.lax.bitcast_convert_type(val, jnp.int32),
-            jnp.minimum(raw, nwords - 1),
-            num_segments=nwords, indices_are_sorted=True,
-        )
-    words = jax.lax.bitcast_convert_type(words, jnp.uint32)
-
+    words, total = _level2(mcu_buf, t_m, nwords, level2)
     ok = (
         (jnp.max(t_b) <= block_words * 32)
         & (jnp.max(t_m) <= mcu_words * 32)

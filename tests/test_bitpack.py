@@ -37,6 +37,37 @@ def test_device_pack_matches_numpy(rng, density):
     assert got == expect
 
 
+def test_level2_tree_or_matches_segment_sum(rng):
+    """Round-4 level 2 (log-depth shift-OR tree) is word-identical to the
+    round-3 sorted segment-sum on the same level-1 buffers, for both packers
+    and across group counts that exercise the power-of-2 padding."""
+    huff = huffman.standard_tables()
+    luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(huff))
+    n_ok = 0
+    for n, bpm in ((6, 6), (37 * 6, 6), (40, 4), (1, 1), (5, 1)):
+        blocks = _random_blocks(rng, n, density=0.1)
+        tbl = (rng.random(n) < 0.4).astype(np.int32)
+        bits, nbits = bitpack.build_bitfields(
+            jnp.asarray(blocks), jnp.asarray(tbl), *luts)
+        nwords = n * 9 + 2
+        a = bitpack.pack_bits(bits, nbits, nwords, level2="tree_or")
+        b = bitpack.pack_bits(bits, nbits, nwords, level2="segment_sum")
+        assert int(a[1]) == int(b[1]) and bool(a[2]) == bool(b[2])
+        if bool(a[2]):  # identity is the contract only for in-budget streams
+            n_ok += 1
+            np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        if n % bpm == 0:
+            c = bitpack.pack_bits_tree(bits, nbits, nwords, bpm,
+                                       level2="tree_or")
+            d = bitpack.pack_bits_tree(bits, nbits, nwords, bpm,
+                                       level2="segment_sum")
+            assert int(c[1]) == int(d[1]) and bool(c[2]) == bool(d[2])
+            if bool(c[2]):
+                np.testing.assert_array_equal(np.asarray(c[0]),
+                                              np.asarray(d[0]))
+    assert n_ok >= 3  # the identity must actually be exercised
+
+
 def test_tree_pack_matches_mcu_and_block_grouping(rng):
     """pack_bits_tree (narrow level 1 + block->MCU combine) is byte-identical
     to pack_bits under both groupings when all budgets hold, and flags ok
