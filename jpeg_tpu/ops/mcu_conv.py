@@ -33,15 +33,15 @@ _PRECISION = jax.lax.Precision.HIGHEST
 
 
 @functools.cache
-def mcu_kernel(mode: Subsampling) -> tuple[np.ndarray, np.ndarray]:
-    """(kernel (mcu_h, mcu_w, 3, (hv+2)*64) f32, bias ((hv+2)*64,) f32).
+def _mcu_kernel_f64(mode: Subsampling) -> tuple[np.ndarray, np.ndarray]:
+    """Composed transform kernel in float64:
+    (kernel (mcu_h, mcu_w, 3, (hv+2)*64), bias ((hv+2)*64,)).
 
     Output channel blk*64 + k is zig-zag DCT coefficient k of MCU block blk:
     blocks 0..hv-1 are luma in v-by-h raster order (spec A.2.3), then Cb, Cr.
-    Weights are composed in float64 and rounded to f32 once. The bias folds
-    the -128 level shift: it only touches DC rows (the other DCT rows sum to
-    zero), and the chroma matrix rows' +128 storage offset cancels the shift
-    exactly, leaving luma DC at -1024 and chroma DC at 0.
+    The bias folds the -128 level shift: it only touches DC rows (the other
+    DCT rows sum to zero), and the chroma matrix rows' +128 storage offset
+    cancels the shift exactly, leaving luma DC at -1024 and chroma DC at 0.
     """
     from jpeg_tpu import tables
     from jpeg_tpu.ops import color, dct
@@ -69,10 +69,58 @@ def mcu_kernel(mode: Subsampling) -> tuple[np.ndarray, np.ndarray]:
         up = np.repeat(np.repeat(full, vf, axis=0), hf, axis=1) * inv
         kern[:, :, :, 64 * ci:64 * ci + 64] = up
 
-    bias = np.zeros((hv + 2) * 64, dtype=np.float32)
+    bias = np.zeros((hv + 2) * 64, dtype=np.float64)
     for blk in range(hv):
         bias[64 * blk] = -1024.0  # luma DC level shift: -(128 * 64) / 8
-    return kern.astype(np.float32), bias
+    return kern, bias
+
+
+@functools.cache
+def mcu_kernel(mode: Subsampling) -> tuple[np.ndarray, np.ndarray]:
+    """f32 rounding of _mcu_kernel_f64 (the round-3 float conv kernel)."""
+    kern, bias = _mcu_kernel_f64(mode)
+    return kern.astype(np.float32), bias.astype(np.float32)
+
+
+# Fixed-point scale of the integer transform kernel. At 2^15 the composed
+# kernel's rounding perturbs a coefficient by well under 0.15 pre-quantization
+# (sum_i |eps_i|*255 with |eps_i| <= 2^-16), so quantized outputs match the
+# float path except at exact rounding boundaries — and, unlike the float
+# path, they are BIT-EXACT under any XLA fusion (VERDICT r3 weak 2).
+_INT_SCALE_BITS = 15
+# Kernel split K_int = K_hi * 2^_HI_SHIFT + K_lo with |K_hi| <= 256,
+# |K_lo| <= 2^(_HI_SHIFT-1): both halves and all uint8 pixels are exact in
+# bfloat16 (integers up to 256), so a DEFAULT-precision bf16 conv with an f32
+# accumulator computes both dot products exactly (all partial sums < 2^24).
+_HI_SHIFT = 7
+
+
+@functools.cache
+def mcu_kernel_int(mode: Subsampling):
+    """Integer fixed-point twin of mcu_kernel for the exact TPU transform:
+    (k_hilo (mcu_h, mcu_w, 3, 2*(hv+2)*64) f32-storing-integers,
+     bias_int ((hv+2)*64,) int32).
+
+    k_hilo stacks the hi kernel then the lo kernel along output channels so
+    ONE conv produces both partial sums; the true coefficient is
+    (acc_hi * 2^_HI_SHIFT + acc_lo + bias_int) / 2^_INT_SCALE_BITS.
+    Exactness bounds are asserted here at build time, not assumed."""
+    kern64, bias64 = _mcu_kernel_f64(mode)
+    k_int = np.rint(kern64 * (1 << _INT_SCALE_BITS))
+    k_hi = np.rint(k_int / (1 << _HI_SHIFT))
+    k_lo = k_int - k_hi * (1 << _HI_SHIFT)
+    assert np.abs(k_hi).max() <= 256 and np.abs(k_lo).max() <= 1 << (
+        _HI_SHIFT - 1
+    )
+    # f32-accumulator exactness: every partial sum of |pixel * weight| must
+    # stay below 2^24 per output channel.
+    nco = kern64.shape[-1]
+    for half in (k_hi, k_lo):
+        worst = np.abs(half).reshape(-1, nco).sum(axis=0).max() * 255.0
+        assert worst < 2 ** 24, worst
+    bias_int = np.rint(bias64 * (1 << _INT_SCALE_BITS)).astype(np.int32)
+    k_hilo = np.concatenate([k_hi, k_lo], axis=-1).astype(np.float32)
+    return k_hilo, bias_int
 
 
 def zigzag_qdiv(qy, qc, hv: int):
@@ -117,13 +165,59 @@ def _mcu_transform_staged(rgb, qy, qc, mode: Subsampling):
     return jnp.concatenate([y_scan, cb_zz[:, None], cr_zz[:, None]], axis=1)
 
 
-def mcu_transform(rgb, qy, qc, mode: Subsampling):
-    """uint8 (H, W, 3), MCU-aligned -> (n_mcu, hv+2, 64) int32 quantized
-    zig-zag blocks, MCU-interleaved in scan order (DC not yet DPCM'd)."""
-    from jpeg_tpu.ops import quant
+def zigzag_qdiv_int(qy, qc, hv: int):
+    """((hv+2)*64,) int32 per-channel quantization divisors (zig-zag order),
+    the integer twin of zigzag_qdiv."""
+    from jpeg_tpu import tables
 
-    if jax.default_backend() == "cpu":
-        return _mcu_transform_staged(rgb, qy, qc, mode)
+    order = jnp.asarray(tables.ZIGZAG_ORDER)
+    qzy = qy.reshape(64)[order].astype(jnp.int32)
+    qzc = qc.reshape(64)[order].astype(jnp.int32)
+    return jnp.concatenate([jnp.tile(qzy, hv), qzc, qzc])
+
+
+def _mcu_transform_int(rgb, qy, qc, mode: Subsampling):
+    """Exact fixed-point transform (round-4 default TPU path, VERDICT items
+    1-2): ONE bf16 conv with doubled output channels computes the hi/lo
+    integer partial sums exactly (every product and partial sum < 2^24 in the
+    f32 accumulator — bounds asserted in mcu_kernel_int), then integer
+    combine and exact spec rounding. No value ever depends on float rounding
+    order, so every executable — single, vmapped/batched, sharded, any XLA
+    fusion — produces bit-identical coefficients. Also ~3x the MXU throughput
+    of the old f32 HIGHEST conv (2 bf16 passes vs 6).
+
+    Quantization round_half_away(c / (q * 2^S)) is exact integer arithmetic:
+    sign * ((2|c| + d) // (2d)) with d = q << S; all magnitudes < 2^28.
+    Anchors the reference's per-block float loops (dct.c:36-59,
+    quantise.c:21-41) in libjpeg-islow-style scaled-integer form."""
+    k_hilo_np, bias_np = mcu_kernel_int(mode)
+    kern = jnp.asarray(k_hilo_np).astype(jnp.bfloat16)
+    bias = jnp.asarray(bias_np)
+    hv = mode.h_factor * mode.v_factor
+    nco = (hv + 2) * 64
+    out = jax.lax.conv_general_dilated(
+        rgb.astype(jnp.bfloat16)[None], kern,
+        window_strides=(mode.mcu_height, mode.mcu_width), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )[0].reshape(-1, 2 * nco)
+    acc = (
+        out[:, :nco].astype(jnp.int32) * (1 << _HI_SHIFT)
+        + out[:, nco:].astype(jnp.int32)
+        + bias
+    )
+    d = zigzag_qdiv_int(qy, qc, hv) << _INT_SCALE_BITS
+    q0 = (2 * jnp.abs(acc) + d) // (2 * d)
+    q = jnp.where(acc < 0, -q0, q0)
+    return q.reshape(-1, hv + 2, 64)
+
+
+def _mcu_transform_conv_f32(rgb, qy, qc, mode: Subsampling):
+    """The round-3 f32 HIGHEST conv path, kept for A/B probes. Deterministic
+    per executable, but cross-executable bytes can differ by .5-boundary
+    rounding flips under different fusions (DESIGN §6) — superseded by
+    _mcu_transform_int."""
+    from jpeg_tpu.ops import quant
 
     kern_np, bias_np = mcu_kernel(mode)
     kern = jnp.asarray(kern_np)
@@ -137,3 +231,16 @@ def mcu_transform(rgb, qy, qc, mode: Subsampling):
     coeff = out.reshape(-1, (hv + 2) * 64) + bias
     q = quant.round_half_away(coeff / zigzag_qdiv(qy, qc, hv))
     return q.astype(jnp.int32).reshape(-1, hv + 2, 64)
+
+
+def mcu_transform(rgb, qy, qc, mode: Subsampling):
+    """uint8 (H, W, 3), MCU-aligned -> (n_mcu, hv+2, 64) int32 quantized
+    zig-zag blocks, MCU-interleaved in scan order (DC not yet DPCM'd).
+
+    Backend routing (platform-local byte stability — every encode path on a
+    given backend goes through the same branch): CPU uses the staged
+    low-FLOP form; TPU (and other accelerators) the exact fixed-point conv,
+    whose coefficients are additionally bit-identical across executables."""
+    if jax.default_backend() == "cpu":
+        return _mcu_transform_staged(rgb, qy, qc, mode)
+    return _mcu_transform_int(rgb, qy, qc, mode)
