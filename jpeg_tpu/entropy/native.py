@@ -59,8 +59,9 @@ def _load():
         lib.jt_sparse_scan.restype = ctypes.c_long
         lib.jt_progressive_scan.restype = ctypes.c_long
         lib.jt_count_symbols.restype = None
+        lib.jt_finalize_scan.restype = ctypes.c_long
         lib.jt_version.restype = ctypes.c_int
-        if lib.jt_version() != 7:
+        if lib.jt_version() != 8:
             return None
         _lib = lib
         return _lib
@@ -118,6 +119,32 @@ def encode_scan(
     )
     if n < 0:
         raise RuntimeError(f"native encode_scan failed ({n})")
+    return out[:n].tobytes()
+
+
+def finalize_scan(words: np.ndarray, totals: np.ndarray,
+                  rst_base: int = 0) -> bytes:
+    """C-speed finalize of device-packed word segments: trim/1-pad/stuff each
+    (row, total_bits) pair and join with RSTn markers. words (nseg, W)
+    uint32; totals (nseg,) bit counts. Byte-identical to
+    ops/bitpack.finalize_segment + marker join."""
+    lib = _load()
+    assert lib is not None
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    if words.ndim == 1:
+        words = words[None]
+    totals = np.ascontiguousarray(totals, dtype=np.int64)
+    nseg = int(totals.shape[0])
+    cap = int(((int(totals.sum()) + 7) // 8) * 2 + 2 * nseg + 16)
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.jt_finalize_scan(
+        _ptr(words, ctypes.c_uint32), ctypes.c_long(words.shape[1]),
+        _ptr(totals, ctypes.c_int64), ctypes.c_long(nseg),
+        ctypes.c_long(rst_base), _ptr(out, ctypes.c_uint8),
+        ctypes.c_long(cap),
+    )
+    if n < 0:
+        raise RuntimeError(f"native finalize_scan failed ({n})")
     return out[:n].tobytes()
 
 

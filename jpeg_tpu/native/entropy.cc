@@ -1016,6 +1016,39 @@ void jt_count_symbols(const int32_t* blocks, const uint8_t* tbl, long nblocks,
   }
 }
 
-int jt_version() { return 7; }
+// Finalize device-packed word segments into one entropy-coded scan: for each
+// segment emit ceil(total_bits/8) big-endian bytes from its uint32 words,
+// 1-pad the final partial byte (spec F.1.2.1.1), stuff a 0x00 after every
+// 0xFF (F.1.2.3), and join segments with RSTn markers (n = (rst_base + s)
+// mod 8). The C-speed twin of ops/bitpack.finalize_segment, one call per
+// image instead of a Python pass per segment (r3 host_ms was ~30 of the
+// sustained-encode tail). Returns bytes written, or -1 if cap is too small.
+long jt_finalize_scan(const uint32_t* words, long words_stride,
+                      const int64_t* total_bits, long nseg, long rst_base,
+                      uint8_t* out, long cap) {
+  long o = 0;
+  for (long s = 0; s < nseg; ++s) {
+    const uint32_t* w = words + s * words_stride;
+    long tb = total_bits[s];
+    long nbytes = (tb + 7) / 8;
+    if (nbytes > words_stride * 4 || o + nbytes * 2 + 2 > cap) return -1;
+    for (long i = 0; i < nbytes; ++i) {
+      uint8_t b = (uint8_t)(w[i >> 2] >> (24 - 8 * (i & 3)));
+      if (i == nbytes - 1) {
+        int rem = (int)(tb & 7);
+        if (rem) b |= (uint8_t)((1u << (8 - rem)) - 1);
+      }
+      out[o++] = b;
+      if (b == 0xFF) out[o++] = 0;
+    }
+    if (s != nseg - 1) {
+      out[o++] = 0xFF;
+      out[o++] = (uint8_t)(0xD0 + ((rst_base + s) & 7));
+    }
+  }
+  return o;
+}
+
+int jt_version() { return 8; }
 
 }  // extern "C"

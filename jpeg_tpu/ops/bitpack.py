@@ -421,3 +421,27 @@ def finalize_segment(words: np.ndarray, total_bits: int) -> np.ndarray:
     if rem:
         out[-1] |= (1 << (8 - rem)) - 1
     return encode_np._stuff_bytes(out)
+
+
+def finalize_stream(words: np.ndarray, totals, rst_base: int = 0) -> bytes:
+    """Finalize all of a device pack's word segments into one scan: per
+    segment trim/1-pad/stuff, RSTn markers between segments. words is the
+    HOST (nseg, W) uint32 array (callers fetch one slice for all segments —
+    per-segment device slices each cost a tunnel dispatch); totals the
+    (nseg,) bit counts. Uses the C++ runtime when available (one call per
+    image, ~30 ms of r3 host finalize work in Python), byte-identical to the
+    NumPy fallback."""
+    from jpeg_tpu.entropy import native
+
+    words = np.asarray(words)
+    if words.ndim == 1:
+        words = words[None]
+    totals = np.asarray(totals).astype(np.int64).reshape(-1)
+    if native.available():
+        return native.finalize_scan(words, totals, rst_base)
+    parts = []
+    for s, t in enumerate(totals):
+        parts.append(finalize_segment(words[s], int(t)).tobytes())
+        if s != len(totals) - 1:
+            parts.append(bytes([0xFF, 0xD0 + ((rst_base + s) & 7)]))
+    return b"".join(parts)

@@ -72,16 +72,11 @@ def _encode_batch_device_packed(padded, orig_shape, qy, qc, mesh, mode,
     ]
     out = []
     for i in range(b):
-        parts = []
-        for s in range(sp):
-            t = int(totals_np[i, s])
-            seg_words = words_np[i, s * nwords : s * nwords + (t + 31) // 32]
-            parts.append(bitpack.finalize_segment(seg_words, t).tobytes())
-            if s != sp - 1:
-                parts.append(bytes([0xFF, 0xD0 + (s & 7)]))
+        scan = bitpack.finalize_stream(
+            words_np[i].reshape(sp, nwords), totals_np[i])
         out.append(
             jfif.write_jpeg(
-                w0, h0, comps, {0: qy, 1: qc}, htables, b"".join(parts),
+                w0, h0, comps, {0: qy, 1: qc}, htables, scan,
                 restart_interval=dri,
             )
         )

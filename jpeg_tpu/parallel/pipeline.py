@@ -68,8 +68,8 @@ def encode_stream(
         if not bool(np.asarray(ok).all()):
             return E._encode_color(img, cfg, None, device_pack=False)
         t = int(np.asarray(totals)[0])
-        w_host = np.asarray(words[0, : (t + 31) // 32])
-        scan = bitpack.finalize_segment(w_host, t).tobytes()
+        w_host = np.asarray(words[:, : (t + 31) // 32])
+        scan = bitpack.finalize_stream(w_host, [t])
         comps = [
             jfif.ComponentSpec(1, mode.h_factor, mode.v_factor, 0, 0, 0),
             jfif.ComponentSpec(2, 1, 1, 1, 1, 1),

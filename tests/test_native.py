@@ -105,3 +105,30 @@ def test_native_count_frequencies_matches_numpy(rng):
     b = native.count_frequencies(blocks, tbl)
     for k in a:
         np.testing.assert_array_equal(a[k], b[k], err_msg=str(k))
+
+
+def test_native_finalize_scan_matches_numpy(rng):
+    """jt_finalize_scan is byte-identical to the NumPy finalize_segment +
+    RST-marker join across segment counts, 0xFF-dense words, ragged bit
+    totals (including byte-aligned and nbits%8 != 0) and rst_base offsets."""
+    from jpeg_tpu.ops import bitpack
+
+    for nseg, W, rst_base in ((1, 7, 0), (3, 32, 0), (8, 64, 5), (12, 9, 2)):
+        words = rng.integers(0, 1 << 32, (nseg, W), dtype=np.uint64).astype(
+            np.uint32)
+        # make 0xFF bytes (stuffing) common
+        ffmask = rng.random((nseg, W)) < 0.3
+        words[ffmask] |= np.uint32(0xFF000000)
+        totals = rng.integers(1, W * 32 + 1, nseg)
+        totals[0] = W * 32  # full buffer
+        if nseg > 1:
+            totals[1] = 8  # single byte
+        expect_parts = []
+        for s in range(nseg):
+            expect_parts.append(
+                bitpack.finalize_segment(words[s], int(totals[s])).tobytes())
+            if s != nseg - 1:
+                expect_parts.append(bytes([0xFF, 0xD0 + ((rst_base + s) & 7)]))
+        expect = b"".join(expect_parts)
+        got = native.finalize_scan(words, totals, rst_base)
+        assert got == expect
