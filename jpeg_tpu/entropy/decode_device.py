@@ -442,47 +442,96 @@ def decode_scan_indexed(
 # ---------------------------------------------------------------------------
 
 
-def densify_body(payload, B: int, Sp: int, Ep: int):
-    """Traceable densify: uint32 payload [counts u8 | ks u8 | vals i8 |
-    dc i32 | exc_idx u32 | exc_val i16] (little-endian byte packing) ->
-    (B, 64) int32 zig-zag blocks. Pure function of the payload so callers
-    can fuse it into larger jitted programs (the decoder composes densify +
-    raster reorder + finishing into ONE program — each extra dispatch costs
-    ~22 ms through this container's tunnel).
+def _ceil16(n: int) -> int:
+    return -(-n // 16) * 16
 
-    Values ride one byte each (JPEG AC coefficients are overwhelmingly
-    small); the rare |v| > 127 cases carry the int8 sentinel -128 and their
-    true value in the (index, int16) exception stream — ~30% less upload
-    than flat int16 on a q75 stream."""
-    cw = (B + 3) // 4
-    kw = Sp // 4
-    vb = Sp // 4
 
-    def bytes_of(ws):
-        return jnp.stack(
-            [(ws >> (8 * i)) & 255 for i in range(4)], axis=1
-        ).reshape(-1)
+def _unpack6(words, n: int):
+    """6-bit stream unpack: (G*3,) uint32 words -> (n,) int32 in [0, 64).
+    16 values ride each 96-bit group; every lane is a STATIC shift (two-word
+    combine for the two straddling lanes) — no gathers."""
+    g = words.reshape(-1, 3)
+    w = [g[:, 0], g[:, 1], g[:, 2]]
+    outs = []
+    for j in range(16):
+        b = 6 * j
+        a, s = b // 32, b % 32
+        v = w[a] >> jnp.uint32(s)
+        if s > 26:
+            v = v | (w[a + 1] << jnp.uint32(32 - s))
+        outs.append(v & jnp.uint32(63))
+    return jnp.stack(outs, axis=1).reshape(-1)[:n].astype(jnp.int32)
 
-    counts = bytes_of(payload[:cw])[:B].astype(jnp.int32)
-    ks = bytes_of(payload[cw:cw + kw]).astype(jnp.int32)
-    v8 = bytes_of(payload[cw + kw:cw + kw + vb]).astype(jnp.int32)
-    v8 = (v8 ^ 0x80) - 0x80  # sign-extend int8
-    vals = jnp.where(v8 == -128, 0, v8)
-    base = cw + kw + vb
-    dc = jax.lax.bitcast_convert_type(payload[base:base + B], jnp.int32)
-    base += B
-    exc_idx = jax.lax.bitcast_convert_type(
-        payload[base:base + Ep], jnp.int32
-    )
-    ew = base + Ep
-    evw = payload[ew:ew + Ep // 2]
+
+def _unpack_nib(words, n: int):
+    """Nibble stream unpack: (n/8,) uint32 -> (n,) int32 two's-complement
+    4-bit values in [-8, 7]."""
+    nib = jnp.stack(
+        [(words >> jnp.uint32(4 * i)) & jnp.uint32(15) for i in range(8)],
+        axis=1,
+    ).reshape(-1)[:n].astype(jnp.int32)
+    return (nib ^ 8) - 8
+
+
+def _unpack_i8(words, n: int):
+    """int8 byte stream unpack: (ceil(n/4),) uint32 -> (n,) int32."""
+    b = jnp.stack(
+        [(words >> jnp.uint32(8 * i)) & jnp.uint32(255) for i in range(4)],
+        axis=1,
+    ).reshape(-1)[:n].astype(jnp.int32)
+    return (b ^ 0x80) - 0x80
+
+
+def _apply_exceptions(stream, payload, base: int, Ep: int, cap: int):
+    """Add the (idx u32, val i16) exception stream onto `stream`. Sentinel'd
+    slots hold 0, so the sorted add reconstructs values exactly; padding
+    entries target cap-1 with value 0 (no-op adds keeping indices sorted)."""
+    idx = jax.lax.bitcast_convert_type(payload[base:base + Ep], jnp.int32)
+    evw = payload[base + Ep:base + Ep + Ep // 2]
     eh = jnp.stack([evw & 0xFFFF, evw >> 16], axis=1).reshape(-1)
-    exc_val = (eh.astype(jnp.int32) ^ 0x8000) - 0x8000
-    # Padding exceptions carry (idx Sp-1, val 0): no-op adds that keep the
-    # index stream sorted (real indices ascend by construction).
-    vals = vals.at[jnp.clip(exc_idx, 0, Sp - 1)].add(
-        exc_val, indices_are_sorted=True
+    val = (eh.astype(jnp.int32) ^ 0x8000) - 0x8000
+    return stream.at[jnp.clip(idx, 0, cap - 1)].add(
+        val, indices_are_sorted=True
     )
+
+
+def densify_body(payload, B: int, Sp: int, Ep: int, Edp: int):
+    """Traceable densify of the v2 sparse payload: uint32 words
+    [counts 6b | ks 6b | vals 4b | dc-diff i8 | val_exc (u32+i16) |
+    dc_exc (u32+i16)] -> (B, 64) int32 zig-zag blocks. Pure function of the
+    payload so callers can fuse it into larger jitted programs (the decoder
+    composes densify + raster reorder + finishing into ONE program — each
+    extra dispatch costs ~22 ms through this container's tunnel).
+
+    v2 format (round 4, VERDICT item 4 — upload is the decode wall on a
+    bandwidth-starved link): counts and zig-zag positions are 6-bit packed
+    (both <= 63, no exceptions needed), AC values are two's-complement
+    nibbles (JPEG ACs are overwhelmingly tiny; |v| > 7 rides the sentinel -8
+    plus a (u32 idx, i16 val) exception), and DC uploads as int8 diffs of
+    the absolute-DC array (photographic DC varies smoothly; |diff| > 127
+    rides the sentinel -128 plus its own exception stream; the device
+    reconstructs with one cumsum). ~48% fewer payload bytes than v1 on the
+    4K q75 bench stream (2.49 -> ~1.3 MB). All unpacks are static shifts."""
+    B16 = _ceil16(B)
+    c6w = (B16 // 16) * 3
+    k6w = (Sp // 16) * 3
+    v4w = Sp // 8
+    d8w = (B + 3) // 4
+    off = 0
+    counts = _unpack6(payload[:c6w], B)
+    off += c6w
+    ks = _unpack6(payload[off:off + k6w], Sp)
+    off += k6w
+    v4 = _unpack_nib(payload[off:off + v4w], Sp)
+    vals = jnp.where(v4 == -8, 0, v4)
+    off += v4w
+    d8 = _unpack_i8(payload[off:off + d8w], B)
+    dcd = jnp.where(d8 == -128, 0, d8)
+    off += d8w
+    vals = _apply_exceptions(vals, payload, off, Ep, Sp)
+    off += Ep + Ep // 2
+    dcd = _apply_exceptions(dcd, payload, off, Edp, B)
+    dc = jnp.cumsum(dcd)
 
     # Block id per sparse element: element e belongs to the last block
     # whose start offset is <= e. Start offsets land as marks (duplicates
@@ -505,8 +554,9 @@ def densify_body(payload, B: int, Sp: int, Ep: int):
 
 
 @functools.cache
-def _jit_densify(B: int, Sp: int, Ep: int):
-    return jax.jit(functools.partial(densify_body, B=B, Sp=Sp, Ep=Ep))
+def _jit_densify(B: int, Sp: int, Ep: int, Edp: int):
+    return jax.jit(
+        functools.partial(densify_body, B=B, Sp=Sp, Ep=Ep, Edp=Edp))
 
 
 def sparse_bucket(S: int) -> int:
@@ -515,7 +565,8 @@ def sparse_bucket(S: int) -> int:
     blocks) must keep its mark past the last real element. Finer than
     power-of-two buckets because the padding is real upload bytes (<= 12.5%
     waste vs <= 100%), at ~8x the distinct jit geometries per octave — all
-    persistent-cache-friendly."""
+    persistent-cache-friendly. Always a multiple of 16 (the 6-bit pack
+    granularity; floor 1024 guarantees the shift is >= 4)."""
     need = max(1024, S + 1)
     e = need.bit_length() - 4  # so that (8..16) << e covers `need`
     return -(-need >> e) << e
@@ -529,45 +580,98 @@ def exception_bucket(E: int) -> int:
     return -(-need >> e) << e
 
 
-def build_payload(vals, ks, counts, dc, Sp: int, Ep: int) -> np.ndarray:
-    """Pack native.sparse_scan outputs into the uint32 upload payload
-    densify_body expects ([counts u8 | ks u8 | vals i8 | dc i32 |
-    exc_idx u32 | exc_val i16]); |v| > 127 values become the -128 sentinel
-    plus an exception entry."""
-    B = counts.shape[0]
-    S = vals.shape[0]
-    cw = (B + 3) // 4
-    kw = Sp // 4
-    vb = Sp // 4
+def _pack6(a: np.ndarray) -> np.ndarray:
+    """(n,) values <= 63, n % 16 == 0 -> (n/16*3,) uint32 (the _unpack6
+    layout: value j of each 16-group at bits [6j, 6j+6) of its 96-bit
+    group)."""
+    g = a.reshape(-1, 16).astype(np.uint64)
+    lo = np.zeros(g.shape[0], np.uint64)   # bits 0..63
+    hi = np.zeros(g.shape[0], np.uint64)   # bits 64..95 (in low 32)
+    for j in range(16):
+        b = 6 * j
+        if b < 64:
+            lo |= g[:, j] << b
+            if b > 58:  # straddles the 64-bit boundary (j == 10: bits 60..65)
+                hi |= g[:, j] >> (64 - b)
+        else:
+            hi |= g[:, j] << (b - 64)
+    out = np.empty((g.shape[0], 3), np.uint32)
+    out[:, 0] = lo & 0xFFFFFFFF
+    out[:, 1] = lo >> 32
+    out[:, 2] = hi & 0xFFFFFFFF
+    return out.reshape(-1)
 
-    big = np.abs(vals.astype(np.int32)) > 127
-    exc_i = np.nonzero(big)[0].astype(np.uint32)
-    if exc_i.shape[0] > Ep:
+
+def _pack_exc(payload, base: int, idx: np.ndarray, val: np.ndarray,
+              Ep: int, cap: int) -> int:
+    """Write one (idx u32, val i16) exception stream; padding entries target
+    cap-1 with value 0. Returns the next write offset."""
+    if idx.shape[0] > Ep:
         raise ValueError("exception bucket too small")
-    v8 = np.where(big, -128, vals).astype(np.int8)
-
-    payload = np.zeros(cw + kw + vb + B + Ep + Ep // 2, dtype=np.uint32)
-    cbuf = np.zeros(cw * 4, dtype=np.uint8)
-    cbuf[:B] = counts
-    payload[:cw] = cbuf.view(np.uint32)
-    kbuf = np.zeros(Sp, dtype=np.uint8)
-    kbuf[:S] = ks
-    payload[cw:cw + kw] = kbuf.view(np.uint32)
-    vbuf = np.zeros(Sp, dtype=np.int8)
-    vbuf[:S] = v8
-    payload[cw + kw:cw + kw + vb] = vbuf.view(np.uint32)
-    base = cw + kw + vb
-    payload[base:base + B] = dc.view(np.uint32)
-    base += B
-    # Padding exceptions point at Sp-1 with value 0 (sorted no-op adds). The
-    # sentinel'd slots hold 0, so the add reconstructs the value exactly.
-    ibuf = np.full(Ep, Sp - 1, dtype=np.uint32)
-    ibuf[: exc_i.shape[0]] = exc_i
+    ibuf = np.full(Ep, cap - 1, dtype=np.uint32)
+    ibuf[: idx.shape[0]] = idx
     payload[base:base + Ep] = ibuf
     base += Ep
     ebuf = np.zeros(Ep, dtype=np.int16)
-    ebuf[: exc_i.shape[0]] = vals[big]
-    payload[base:] = ebuf.view(np.uint32)
+    ebuf[: idx.shape[0]] = val
+    payload[base:base + Ep // 2] = ebuf.view(np.uint32)
+    return base + Ep // 2
+
+
+def dc_diff_exceptions(dc: np.ndarray) -> int:
+    """Number of |diff| > 127 entries the v2 dc-diff stream needs (callers
+    size the Edp bucket from this)."""
+    dcd = np.diff(dc.astype(np.int32), prepend=np.int32(0))
+    return int(np.count_nonzero(np.abs(dcd) > 127))
+
+
+def build_payload(vals, ks, counts, dc, Sp: int, Ep: int,
+                  Edp: int) -> np.ndarray:
+    """Pack native.sparse_scan outputs into the v2 uint32 upload payload
+    densify_body expects ([counts 6b | ks 6b | vals 4b | dc-diff i8 |
+    val_exc | dc_exc]); |v| > 7 values become the nibble sentinel -8 plus an
+    exception entry, |dc diff| > 127 the int8 sentinel -128 plus its own."""
+    B = counts.shape[0]
+    S = vals.shape[0]
+    B16 = -(-B // 16) * 16
+    c6w = (B16 // 16) * 3
+    k6w = (Sp // 16) * 3
+    v4w = Sp // 8
+    d8w = (B + 3) // 4
+
+    vals32 = vals.astype(np.int32)
+    big = np.abs(vals32) > 7
+    vexc_i = np.nonzero(big)[0].astype(np.uint32)
+    v4 = np.where(big, -8, vals32)
+
+    dcd = np.diff(dc.astype(np.int32), prepend=np.int32(0))
+    dbig = np.abs(dcd) > 127
+    dexc_i = np.nonzero(dbig)[0].astype(np.uint32)
+    d8 = np.where(dbig, -128, dcd).astype(np.int8)
+
+    payload = np.zeros(c6w + k6w + v4w + d8w + Ep + Ep // 2 + Edp + Edp // 2,
+                       dtype=np.uint32)
+    cbuf = np.zeros(B16, dtype=np.uint8)
+    cbuf[:B] = counts
+    payload[:c6w] = _pack6(cbuf)
+    off = c6w
+    kbuf = np.zeros(Sp, dtype=np.uint8)
+    kbuf[:S] = ks
+    payload[off:off + k6w] = _pack6(kbuf)
+    off += k6w
+    nbuf = np.zeros(Sp, dtype=np.uint8)
+    nbuf[:S] = (v4 & 15).astype(np.uint8)
+    payload[off:off + v4w] = (
+        nbuf[0::2] | (nbuf[1::2] << 4)
+    ).view(np.uint32)
+    off += v4w
+    dbuf = np.zeros(d8w * 4, dtype=np.int8)
+    dbuf[:B] = d8
+    payload[off:off + d8w] = dbuf.view(np.uint32)
+    off += d8w
+    off = _pack_exc(payload, off, vexc_i, vals32[big].astype(np.int16),
+                    Ep, Sp)
+    _pack_exc(payload, off, dexc_i, dcd[dbig].astype(np.int16), Edp, B)
     return payload
 
 
@@ -580,17 +684,18 @@ def sparse_payload(
 ):
     """Host half of the sparse backend: run native.sparse_scan and pack its
     outputs into the single uint32 upload payload densify_body expects.
-    Returns (payload (np.uint32), B, Sp, Ep)."""
+    Returns (payload (np.uint32), B, Sp, Ep, Edp)."""
     from jpeg_tpu.entropy import native
 
     vals, ks, counts, dc = native.sparse_scan(
         scan, mcu_count, mcu_layout, htables, restart_interval
     )
     Sp = sparse_bucket(vals.shape[0])
-    E = int(np.count_nonzero(np.abs(vals.astype(np.int32)) > 127))
+    E = int(np.count_nonzero(np.abs(vals.astype(np.int32)) > 7))
     Ep = exception_bucket(E)
-    return (build_payload(vals, ks, counts, dc, Sp, Ep),
-            counts.shape[0], Sp, Ep)
+    Edp = exception_bucket(dc_diff_exceptions(dc))
+    return (build_payload(vals, ks, counts, dc, Sp, Ep, Edp),
+            counts.shape[0], Sp, Ep, Edp)
 
 
 def decode_scan_sparse(
@@ -602,10 +707,10 @@ def decode_scan_sparse(
 ):
     """Sparse backend: same contract as decode_scan_indexed (per-component
     DEVICE arrays). Requires the native runtime (entropy.native)."""
-    payload, B, Sp, Ep = sparse_payload(
+    payload, B, Sp, Ep, Edp = sparse_payload(
         scan, mcu_count, mcu_layout, htables, restart_interval
     )
-    rows = _jit_densify(B, Sp, Ep)(jnp.asarray(payload))
+    rows = _jit_densify(B, Sp, Ep, Edp)(jnp.asarray(payload))
     out, base = [], 0
     for (_comp, bpm, _, _) in mcu_layout:
         out.append(rows[base : base + bpm * mcu_count])

@@ -36,7 +36,12 @@ def test_level1_matches_xla(rng, n, density):
     np.testing.assert_array_equal(np.asarray(totals), t_ref)
 
     nwords = n * 8 + 2
-    w_ref, tot_ref, ok = bitpack.pack_bits(bits, nbits, nwords)
+    # pack_pallas.pack_level2 keeps the scatter formulation, so compare
+    # against level2="segment_sum": for overflow streams (density 0.3 has
+    # blocks past the 288-bit cap) the tree_or default legitimately differs
+    # beyond the dropped range.
+    w_ref, tot_ref, ok = bitpack.pack_bits(bits, nbits, nwords,
+                                           level2="segment_sum")
     w_new, tot_new, ok2 = pack_pallas.pack_level2(buf, totals, nwords)
     assert int(tot_new) == int(tot_ref)
     np.testing.assert_array_equal(np.asarray(w_new), np.asarray(w_ref))

@@ -1,16 +1,27 @@
-"""Real-TPU probe: compile + time every hot-path candidate on the chip.
+"""Real-TPU probe harness: one parameterized tool, subcommand per question.
 
-Times (device-resident, tunnel excluded) for 4K q75 4:2:0:
-  - XLA transform (_jit_color) vs fused Pallas transform (use_pallas=True)
-  - XLA device pack (_jit_color_packed) vs Pallas level-1 pack variant
-  - hybrid indexed decode (scan upload + parallel device block decode)
+Round-4 consolidation of the tpu_probe{,2-7i}.py series (VERDICT r3 item
+10) — the findings those one-off scripts established are recorded in
+docs/DESIGN.md §6; the durable measurement capabilities live here. Every
+compile lands in .jax_cache, so probing also pre-warms bench.py.
 
-Each step is independently guarded so one Mosaic failure doesn't kill the
-probe. Run under `timeout` (the tunnel can wedge); every compile lands in
-.jax_cache so later bench runs are warm. Usage:
+Usage (ALWAYS under timeout — the tunnel can wedge for minutes):
 
-  timeout 3000 python tools/tpu_probe.py [--skip transform_pallas,...]
-"""
+  timeout 1800 python tools/tpu_probe.py <subcommand> [...]
+
+Subcommands:
+  alive      tunnel health: one tiny device op, timed
+  dispatch   per-dispatch floor (trivial program, pipelined)
+  transfer   h2d / d2h MB/s for a 24 MB buffer
+  transform  A/B: exact int conv vs f32 HIGHEST conv vs staged (4K 4:2:0)
+  pack       A/B: level-2 tree_or vs segment_sum; tree/block grouping
+  encode     full packed program: single, batched x4, q95 scale-2 row,
+             and the TPU batched==single BYTE IDENTITY check (int transform)
+  decode     sparse fused decode: single, pipelined x8, batched x4
+  all        transform + pack + encode + decode
+
+Pipelined xN timing cancels the ~22-45 ms dispatch floor; sync is a 1-element
+pull (axon's block_until_ready does not block)."""
 
 from __future__ import annotations
 
@@ -23,99 +34,217 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
-    skip = set()
-    for a in sys.argv[1:]:
-        if a.startswith("--skip"):
-            skip |= set(a.split("=", 1)[1].split(","))
-
+def _sync(x):
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[0])
+
+
+def _pipe(f, n=4, reps=2):
+    """Best pipelined per-call seconds over `reps` rounds of n calls."""
+    _sync(f())  # warm/compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        out = None
+        for _ in range(n):
+            out = f()
+        _sync(out)
+        best = min(best, (time.time() - t0) / n)
+    return best
+
+
+def _setup_4k():
     import jax.numpy as jnp
-
-    print(f"devices: {jax.devices()}", flush=True)
-
-    from jpeg_tpu import decode
+    from bench import make_image
     from jpeg_tpu.config import Subsampling
     from jpeg_tpu.entropy import huffman
-    from jpeg_tpu.models import encoder as E
     from jpeg_tpu.ops import bitpack, quant
 
-    h, w = 2160, 3840
-    mpix = h * w / 1e6
-    rng = np.random.default_rng(0)
-    yy, xx = np.mgrid[0:h, 0:w]
-    img = np.clip(
-        np.stack([xx * 255 / w, yy * 255 / h, (xx + yy) * 128 / (h + w)], -1)
-        + rng.integers(-10, 11, (h, w, 3)),
-        0, 255,
-    ).astype(np.uint8)
+    img = make_image(2160, 3840)
     mode = Subsampling.YUV420
+    import jax
+
+    dev = jax.device_put(jnp.asarray(img))
     qy = jnp.asarray(quant.luma_table(75))
     qc = jnp.asarray(quant.chroma_table(75))
-    htables = huffman.standard_tables()
-    luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(htables))
-    geom = E._packed_geometry(h // 16, w // 16, mode)
-    dev_img = jax.device_put(jnp.asarray(img))
+    luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(
+        huffman.standard_tables()))
+    return img, dev, qy, qc, luts, mode
 
-    def sync(x):
-        leaf = jax.tree_util.tree_leaves(x)[0]
-        np.asarray(leaf.ravel()[0])
 
-    results = {}
+def cmd_alive():
+    import jax
 
-    def bench_step(name, fn, n=3):
-        if name in skip:
-            print(f"[{name}] skipped", flush=True)
-            return
+    t0 = time.time()
+    x = jax.device_put(np.arange(8, dtype=np.int32))
+    y = np.asarray(x + 1)
+    print(f"tunnel OK {y[:3]} {time.time()-t0:.1f}s {jax.devices()}")
+
+
+def cmd_dispatch():
+    import jax, jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jax.device_put(jnp.zeros(8, jnp.int32))
+    _sync(f(x))
+    for n in (1, 8):
+        t = _pipe(lambda: f(x), n=n)
+        print(f"dispatch floor (pipelined x{n}): {t*1e3:.1f} ms/call")
+
+
+def cmd_transfer():
+    import jax
+
+    buf = np.random.default_rng(0).integers(
+        0, 255, (2160, 3840, 3), dtype=np.uint8)
+    t0 = time.time()
+    d = jax.device_put(buf)
+    _sync(d)
+    up = time.time() - t0
+    print(f"h2d 24.9 MB: {up*1e3:.0f} ms = {buf.nbytes/up/1e6:.1f} MB/s")
+    t0 = time.time()
+    np.asarray(d)
+    dn = time.time() - t0
+    print(f"d2h 24.9 MB: {dn*1e3:.0f} ms = {buf.nbytes/dn/1e6:.1f} MB/s")
+
+
+def cmd_transform():
+    import jax
+    from jpeg_tpu.ops import mcu_conv
+
+    _, dev, qy, qc, _, mode = _setup_4k()
+    variants = {
+        "int exact (bf16 hi/lo conv)": mcu_conv._mcu_transform_int,
+        "f32 HIGHEST conv (r3)": mcu_conv._mcu_transform_conv_f32,
+    }
+    for name, fn in variants.items():
+        j = jax.jit(lambda x, a, b, f=fn: f(x, a, b, mode))
+        t = _pipe(lambda: j(dev, qy, qc))
+        print(f"transform 4K {name}: {t*1e3:.1f} ms")
+    # exactness: int path vs int64 host emulation on a small tile
+    from tests.test_int_transform import _int_transform_numpy
+
+    small = np.asarray(dev[:64, :64])
+    got = np.asarray(jax.jit(
+        lambda x, a, b: mcu_conv._mcu_transform_int(x, a, b, mode)
+    )(small, qy, qc))
+    want = _int_transform_numpy(small, np.asarray(qy), np.asarray(qc), mode)
+    same = np.array_equal(got, want)
+    print(f"int transform exactness vs int64 host: {'OK' if same else 'FAIL'}")
+
+
+def cmd_pack():
+    import jax
+    from jpeg_tpu.models import encoder as E
+    from jpeg_tpu.ops import bitpack
+
+    _, dev, qy, qc, luts, mode = _setup_4k()
+
+    # A/B the full packed program with each level-2 formulation via a
+    # one-off jit (group/level2 are trace-time constants).
+    def packed(level2):
+        def f(rgb, qy, qc, *l):
+            bl, tb, nm, hv = E._interleaved_blocks(rgb, qy, qc, mode, 0)
+            bits, nbits = bitpack.build_bitfields(bl, tb, *l)
+            nwords = bl.shape[0] * E.WORDS_PER_BLOCK + 2
+            return bitpack.pack_bits_tree(bits, nbits, nwords, hv + 2,
+                                          level2=level2)
+        return jax.jit(f)
+
+    for lvl in ("tree_or", "segment_sum"):
+        j = packed(lvl)
+        t = _pipe(lambda: j(dev, qy, qc, *luts))
+        print(f"packed program (tree grouping, level2={lvl}): {t*1e3:.1f} ms")
+
+
+def cmd_encode():
+    import jax, jax.numpy as jnp
+    from jpeg_tpu.models import encoder as E
+    from jpeg_tpu.ops import quant
+
+    _, dev, qy, qc, luts, mode = _setup_4k()
+    fn = E._jit_color_packed(mode, 0)
+    t = _pipe(lambda: fn(dev, qy, qc, *luts))
+    out = fn(dev, qy, qc, *luts)
+    ok = bool(np.asarray(out[2]).all())
+    print(f"packed encode program: {t*1e3:.1f} ms (ok={ok}, "
+          f"{8.29/t:.0f} MPix/s)")
+
+    KB = 4
+    fnb = E._jit_color_packed_batch(mode, 0)
+    batch = jnp.broadcast_to(dev, (KB, *dev.shape))
+    tb = _pipe(lambda: fnb(batch, qy, qc, *luts), n=2)
+    print(f"batched x{KB} packed program: {tb/KB*1e3:.1f} ms/img "
+          f"({8.29*KB/tb:.0f} MPix/s)")
+
+    # TPU cross-executable byte identity (the int-transform guarantee).
+    wb, tbt, okb = fnb(batch, qy, qc, *luts)
+    ws, ts, oks = fn(dev, qy, qc, *luts)
+    ident = (int(np.asarray(tbt)[0, 0]) == int(np.asarray(ts)[0])
+             and np.array_equal(np.asarray(wb[0]), np.asarray(ws)))
+    print(f"TPU batched == single bytes: {'OK' if ident else 'FAIL'}")
+
+    qy95 = jnp.asarray(quant.luma_table(95))
+    qc95 = jnp.asarray(quant.chroma_table(95))
+    fn95 = E._jit_color_packed(mode, 0, False, "block", 2)
+    t95 = _pipe(lambda: fn95(dev, qy95, qc95, *luts))
+    ok95 = bool(np.asarray(fn95(dev, qy95, qc95, *luts)[2]).all())
+    print(f"q95 scale-2 packed program: {t95*1e3:.1f} ms (ok={ok95})")
+
+
+def cmd_decode():
+    import jax
+    from jpeg_tpu import decode, encode
+    from jpeg_tpu.models.decoder import decode_batched
+
+    img, *_ = _setup_4k()
+    jpg = encode(img, quality=75, subsampling="420")
+    _sync(decode(jpg, entropy="sparse", device_output=True))
+    t0 = time.time()
+    out = decode(jpg, entropy="sparse", device_output=True)
+    _sync(out)
+    print(f"sparse fused decode (single): {(time.time()-t0)*1e3:.1f} ms")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    KD = 8
+    with ThreadPoolExecutor(2) as pool:
+        t0 = time.time()
+        outs = list(pool.map(
+            lambda _: decode(jpg, entropy="sparse", device_output=True),
+            range(KD)))
+        _sync(outs[-1])
+        t = (time.time() - t0) / KD
+    print(f"sparse decode pipelined x{KD}: {t*1e3:.1f} ms/img "
+          f"({8.29/t:.0f} MPix/s)")
+
+    KB = 4
+    datas = [jpg] * KB
+    _sync(decode_batched(datas, device_output=True))
+    t0 = time.time()
+    o = decode_batched(datas, device_output=True)
+    _sync(o)
+    t = (time.time() - t0) / KB
+    print(f"decode_batched x{KB}: {t*1e3:.1f} ms/img ({8.29/t:.0f} MPix/s)")
+
+
+def main():
+    cmds = {
+        "alive": cmd_alive, "dispatch": cmd_dispatch,
+        "transfer": cmd_transfer, "transform": cmd_transform,
+        "pack": cmd_pack, "encode": cmd_encode, "decode": cmd_decode,
+    }
+    names = sys.argv[1:] or ["alive"]
+    if names == ["all"]:
+        names = ["transform", "pack", "encode", "decode"]
+    for n in names:
+        print(f"--- {n} ---", flush=True)
         try:
-            t0 = time.time()
-            sync(fn())
-            print(f"[{name}] warm/compile {time.time()-t0:.1f}s", flush=True)
-            best = float("inf")
-            for _ in range(n):
-                t0 = time.time()
-                sync(fn())
-                best = min(best, time.time() - t0)
-            results[name] = best
-            print(f"[{name}] best {best*1e3:.1f} ms = {mpix/best:.1f} MPix/s",
-                  flush=True)
+            cmds[n]()
         except Exception as e:
-            print(f"[{name}] FAILED: {type(e).__name__}: {e}", flush=True)
-
-    tf_x = E._jit_color(mode)
-    bench_step("transform_xla", lambda: tf_x(dev_img, qy, qc))
-
-    tf_p = E._jit_color(mode, True)
-    bench_step("transform_pallas", lambda: tf_p(dev_img, qy, qc))
-
-    fn_x = E._jit_color_packed(mode, 0)
-    bench_step("packed_xla", lambda: fn_x(dev_img, qy, qc, *luts, *geom))
-
-    fn_p = E._jit_color_packed(mode, 0, True)
-    bench_step("packed_pallas", lambda: fn_p(dev_img, qy, qc, *luts, *geom))
-
-    # Decode: build a stream once (host), then the device-resident decode.
-    try:
-        from jpeg_tpu import encode
-
-        jpg = encode(np.asarray(img), quality=75, subsampling="420",
-                     device_pack=False)
-        bench_step("decode_indexed",
-                   lambda: decode(jpg, entropy="indexed", device_output=True))
-        bench_step("decode_auto",
-                   lambda: decode(jpg, device_output=True))
-    except Exception as e:
-        print(f"[decode] setup FAILED: {e}", flush=True)
-
-    print("RESULTS " + " ".join(
-        f"{k}={v*1e3:.1f}ms" for k, v in sorted(results.items())), flush=True)
+            print(f"{n} FAILED: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":
