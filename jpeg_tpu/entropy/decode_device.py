@@ -630,7 +630,13 @@ def build_payload(vals, ks, counts, dc, Sp: int, Ep: int,
     """Pack native.sparse_scan outputs into the v2 uint32 upload payload
     densify_body expects ([counts 6b | ks 6b | vals 4b | dc-diff i8 |
     val_exc | dc_exc]); |v| > 7 values become the nibble sentinel -8 plus an
-    exception entry, |dc diff| > 127 the int8 sentinel -128 plus its own."""
+    exception entry, |dc diff| > 127 the int8 sentinel -128 plus its own.
+    Uses the C++ packer when available (the NumPy path below is the
+    byte-exact reference, ~13 ms vs ~1 ms for a 4K payload)."""
+    from jpeg_tpu.entropy import native
+
+    if native.available():
+        return native.pack_payload(vals, ks, counts, dc, Sp, Ep, Edp)
     B = counts.shape[0]
     S = vals.shape[0]
     B16 = -(-B // 16) * 16

@@ -60,8 +60,9 @@ def _load():
         lib.jt_progressive_scan.restype = ctypes.c_long
         lib.jt_count_symbols.restype = None
         lib.jt_finalize_scan.restype = ctypes.c_long
+        lib.jt_pack_payload.restype = ctypes.c_long
         lib.jt_version.restype = ctypes.c_int
-        if lib.jt_version() != 8:
+        if lib.jt_version() != 9:
             return None
         _lib = lib
         return _lib
@@ -146,6 +147,32 @@ def finalize_scan(words: np.ndarray, totals: np.ndarray,
     if n < 0:
         raise RuntimeError(f"native finalize_scan failed ({n})")
     return out[:n].tobytes()
+
+
+def pack_payload(vals, ks, counts, dc, Sp: int, Ep: int,
+                 Edp: int) -> np.ndarray:
+    """C-speed twin of decode_device.build_payload (byte-exact v2 layout)."""
+    lib = _load()
+    assert lib is not None
+    vals = np.ascontiguousarray(vals, dtype=np.int16)
+    ks = np.ascontiguousarray(ks, dtype=np.uint8)
+    counts = np.ascontiguousarray(counts, dtype=np.uint8)
+    dc = np.ascontiguousarray(dc, dtype=np.int32)
+    B, S = counts.shape[0], vals.shape[0]
+    B16 = -(-B // 16) * 16
+    cap = ((B16 // 16) * 3 + (Sp // 16) * 3 + Sp // 8 + (B + 3) // 4
+           + Ep + Ep // 2 + Edp + Edp // 2)
+    out = np.empty(cap, dtype=np.uint32)
+    n = lib.jt_pack_payload(
+        _ptr(vals, ctypes.c_int16), _ptr(ks, ctypes.c_uint8),
+        _ptr(counts, ctypes.c_uint8), _ptr(dc, ctypes.c_int32),
+        ctypes.c_long(B), ctypes.c_long(S), ctypes.c_long(Sp),
+        ctypes.c_long(Ep), ctypes.c_long(Edp),
+        _ptr(out, ctypes.c_uint32), ctypes.c_long(cap),
+    )
+    if n < 0:
+        raise ValueError(f"native pack_payload failed ({n})")
+    return out[:n]
 
 
 def count_frequencies(blocks: np.ndarray, tbl: np.ndarray) -> dict:

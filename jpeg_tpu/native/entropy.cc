@@ -1049,6 +1049,104 @@ long jt_finalize_scan(const uint32_t* words, long words_stride,
   return o;
 }
 
-int jt_version() { return 8; }
+// Pack sparse-scan outputs into the v2 uint32 upload payload (byte-exact
+// twin of decode_device.build_payload, which documents the layout):
+// [counts 6b | ks 6b | vals 4b | dc-diff i8 | val_exc u32+i16 |
+//  dc_exc u32+i16]. Returns words written, or -1 if an exception bucket is
+// too small / cap insufficient. out must be zero-initialized by the caller
+// only if cap exceeds the returned size (we write every word we own).
+static void pack6(const uint8_t* v, long n16, uint32_t* out) {
+  // n16 groups of 16 values -> 3 words each (value j at bits [6j, 6j+6)).
+  for (long g = 0; g < n16; ++g) {
+    const uint8_t* p = v + g * 16;
+    uint64_t lo = 0, hi = 0;
+    for (int j = 0; j < 16; ++j) {
+      long b = 6 * j;
+      if (b < 64) {
+        lo |= (uint64_t)p[j] << b;
+        if (b > 58) hi |= (uint64_t)p[j] >> (64 - b);
+      } else {
+        hi |= (uint64_t)p[j] << (b - 64);
+      }
+    }
+    out[g * 3] = (uint32_t)lo;
+    out[g * 3 + 1] = (uint32_t)(lo >> 32);
+    out[g * 3 + 2] = (uint32_t)hi;
+  }
+}
+
+long jt_pack_payload(const int16_t* vals, const uint8_t* ks,
+                     const uint8_t* counts, const int32_t* dc,
+                     long B, long S, long Sp, long Ep, long Edp,
+                     uint32_t* out, long cap) {
+  long B16 = ((B + 15) / 16) * 16;
+  long c6w = (B16 / 16) * 3;
+  long k6w = (Sp / 16) * 3;
+  long v4w = Sp / 8;
+  long d8w = (B + 3) / 4;
+  long total = c6w + k6w + v4w + d8w + Ep + Ep / 2 + Edp + Edp / 2;
+  if (total > cap) return -1;
+  std::memset(out, 0, total * sizeof(uint32_t));
+
+  // counts (pad to B16 with zeros)
+  {
+    std::vector<uint8_t> buf(B16, 0);
+    std::memcpy(buf.data(), counts, B);
+    pack6(buf.data(), B16 / 16, out);
+  }
+  long off = c6w;
+  // ks (pad to Sp)
+  {
+    std::vector<uint8_t> buf(Sp, 0);
+    std::memcpy(buf.data(), ks, S);
+    pack6(buf.data(), Sp / 16, out + off);
+  }
+  off += k6w;
+  // vals nibbles + exceptions
+  uint8_t* nib = reinterpret_cast<uint8_t*>(out + off);
+  long nv = 0;
+  uint32_t* vexc_i = out + off + v4w + d8w;
+  int16_t* vexc_v = reinterpret_cast<int16_t*>(vexc_i + Ep);
+  for (long i = 0; i < S; ++i) {
+    int v = vals[i];
+    int enc;
+    if (v < -7 || v > 7) {
+      if (nv >= Ep) return -2;
+      vexc_i[nv] = (uint32_t)i;
+      vexc_v[nv] = (int16_t)v;
+      ++nv;
+      enc = -8;
+    } else {
+      enc = v;
+    }
+    uint8_t n4 = (uint8_t)(enc & 15);
+    if (i & 1) nib[i >> 1] |= (uint8_t)(n4 << 4);
+    else nib[i >> 1] = n4;
+  }
+  for (long i = nv; i < Ep; ++i) { vexc_i[i] = (uint32_t)(Sp - 1); vexc_v[i] = 0; }
+  // dc diffs + exceptions
+  int8_t* d8 = reinterpret_cast<int8_t*>(out + off + v4w);
+  long nd = 0;
+  uint32_t* dexc_i = vexc_i + Ep + Ep / 2;
+  int16_t* dexc_v = reinterpret_cast<int16_t*>(dexc_i + Edp);
+  int32_t prev = 0;
+  for (long b = 0; b < B; ++b) {
+    int32_t diff = dc[b] - prev;
+    prev = dc[b];
+    if (diff < -127 || diff > 127) {
+      if (nd >= Edp) return -3;
+      dexc_i[nd] = (uint32_t)b;
+      dexc_v[nd] = (int16_t)diff;
+      ++nd;
+      d8[b] = (int8_t)-128;
+    } else {
+      d8[b] = (int8_t)diff;
+    }
+  }
+  for (long i = nd; i < Edp; ++i) { dexc_i[i] = (uint32_t)(B - 1); dexc_v[i] = 0; }
+  return total;
+}
+
+int jt_version() { return 9; }
 
 }  // extern "C"

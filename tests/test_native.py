@@ -132,3 +132,36 @@ def test_native_finalize_scan_matches_numpy(rng):
         expect = b"".join(expect_parts)
         got = native.finalize_scan(words, totals, rst_base)
         assert got == expect
+
+
+def test_native_pack_payload_matches_numpy(rng, tiger):
+    """jt_pack_payload is byte-exact vs the NumPy build_payload across Sp/Ep
+    bucket shapes, exception-heavy values and DC-diff exceptions."""
+    from jpeg_tpu import encode
+    from jpeg_tpu.entropy import decode_device
+    from jpeg_tpu.io import jfif
+    from jpeg_tpu.models import layout as L
+
+    for q in (75, 95):
+        jpg = encode(tiger, quality=q, subsampling="420", restart_interval=5)
+        info = jfif.parse_jpeg(jpg)
+        cy = info.components[0]
+        n_mcu = L.ceil_div(info.height, 8 * cy.v) * L.ceil_div(
+            info.width, 8 * cy.h)
+        ml = [(i, c.h * c.v, c.dc_id, c.ac_id)
+              for i, c in enumerate(info.components)]
+        w = native.sparse_scan(info.scan_data, n_mcu, ml, info.htables,
+                               info.restart_interval)
+        Sp = decode_device.sparse_bucket(w[0].shape[0])
+        Ep = decode_device.exception_bucket(
+            int(np.count_nonzero(np.abs(w[0].astype(np.int32)) > 7)))
+        Edp = decode_device.exception_bucket(
+            decode_device.dc_diff_exceptions(w[3]))
+        a = native.pack_payload(*w, Sp, Ep, Edp)
+        orig = native.available
+        native.available = lambda: False
+        try:
+            b = decode_device.build_payload(*w, Sp, Ep, Edp)
+        finally:
+            native.available = orig
+        np.testing.assert_array_equal(a, b, err_msg=f"q={q}")
