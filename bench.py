@@ -230,7 +230,10 @@ def child(platform: str) -> None:
         stages["h2d_ms"] = best_of_stage(
             lambda: sync(jax.device_put(img)))
 
-        def timed_pipe(f, n=4):
+        def timed_pipe(f, n=16):
+            # n=16: the tunnel's dispatch-stream overhead amortizes as
+            # ~38/n ms/call (probe r4), so n=4 hid ~8 ms of floor in every
+            # stage number.
             sync(f())
             best = float("inf")
             for _ in range(2):

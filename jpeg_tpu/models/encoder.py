@@ -101,8 +101,15 @@ def _transform_color(rgb, qy, qc, mode: Subsampling, use_pallas: bool = False):
 
 
 def _transform_gray(plane, qy):
-    x = plane.astype(jnp.float32) - 128.0
-    return _plane_zz(x, qy)
+    """Gray transform with the same backend routing as mcu_transform: CPU
+    keeps the staged f32 form, accelerators the exact fixed-point matmul
+    (bit-identical across executables — mcu_conv.gray_transform_int)."""
+    if jax.default_backend() == "cpu":
+        x = plane.astype(jnp.float32) - 128.0
+        return _plane_zz(x, qy)
+    from jpeg_tpu.ops import mcu_conv
+
+    return mcu_conv.gray_transform_int(plane, qy)
 
 
 @functools.cache

@@ -105,3 +105,34 @@ def quality_tables():
     from jpeg_tpu.ops import quant
 
     return jnp.asarray(quant.luma_table(75)), jnp.asarray(quant.chroma_table(75))
+
+
+def test_gray_int_transform_matches_int64_emulation(rng):
+    """gray_transform_int is bit-exact vs pure-int64 host math and within
+    +-1 of the staged f32 path."""
+    from jpeg_tpu.models import encoder as E
+
+    plane = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    qy = np.clip(rng.integers(1, 120, (8, 8)), 1, 255).astype(np.int32)
+    got = np.asarray(jax.jit(mcu_conv.gray_transform_int)(
+        plane, jnp.asarray(qy)))
+
+    k_hilo, bias_int = mcu_conv.gray_kernel_int()
+    k_int = (k_hilo[:, :64].astype(np.int64) * (1 << mcu_conv._HI_SHIFT)
+             + k_hilo[:, 64:].astype(np.int64))
+    blocks = (plane.reshape(5, 8, 7, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 64).astype(np.int64))
+    acc = blocks @ k_int + bias_int.astype(np.int64)
+    from jpeg_tpu import tables
+
+    d = (qy.reshape(64)[np.asarray(tables.ZIGZAG_ORDER)].astype(np.int64)
+         << mcu_conv._INT_SCALE_BITS)
+    q0 = (2 * np.abs(acc) + d) // (2 * d)
+    want = np.where(acc < 0, -q0, q0).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
+
+    staged = np.asarray(jax.jit(
+        lambda p, q: E._plane_zz(p.astype(jnp.float32) - 128.0, q)
+    )(plane, jnp.asarray(qy)))
+    diff = np.abs(got.astype(np.int64) - staged.astype(np.int64))
+    assert diff.max() <= 1 and (diff != 0).mean() < 0.01

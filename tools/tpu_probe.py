@@ -41,8 +41,13 @@ def _sync(x):
     np.asarray(leaf.ravel()[0])
 
 
-def _pipe(f, n=4, reps=2):
-    """Best pipelined per-call seconds over `reps` rounds of n calls."""
+def _pipe(f, n=16, reps=2):
+    """Best pipelined per-call seconds over `reps` rounds of n calls.
+
+    n=16 matters: the tunnel's dispatch-stream overhead amortizes as ~38/n
+    ms/call (measured r4: a trivial program costs 9.6 ms/call at n=4 but
+    0.69 at n=64), so shallow pipelines hide up to ~8 ms of floor inside
+    every 'stage' number."""
     _sync(f())  # warm/compile
     best = float("inf")
     for _ in range(reps):
