@@ -146,7 +146,7 @@ def child(platform: str) -> None:
     if use_device_pack:
         from concurrent.futures import ThreadPoolExecutor
 
-        K = 8
+        K = 16  # dispatch-stream floor amortizes as ~38/K ms/img (probe r4)
         with ThreadPoolExecutor(2) as pool:
             t0 = time.time()
             outs = [fn(dev_img, qy, qc, *luts) for _ in range(K)]
@@ -162,7 +162,7 @@ def child(platform: str) -> None:
     batched_rate = None
     if use_device_pack:
         try:
-            KB = 4
+            KB = 8
             fnb = E._jit_color_packed_batch(mode, 0)
             batch = jnp.broadcast_to(dev_img, (KB, *dev_img.shape))
             sync(fnb(batch, qy, qc, *luts))  # warm
@@ -298,7 +298,7 @@ def child(platform: str) -> None:
         if use_device_pack:
             from concurrent.futures import ThreadPoolExecutor
 
-            KD = 8
+            KD = 16
             with ThreadPoolExecutor(2) as pool:
                 t0 = time.time()
                 outs = list(pool.map(

@@ -8,14 +8,16 @@ prefix sums and the one-hot word reduction — inside VMEM, emitting only the
 (B, BLOCK_WORDS) buffers and per-block bit totals. Level 2 (global offsets +
 ~11 scatter updates per block) stays in XLA where it is already cheap.
 
-Status: semantics validated against ops/bitpack in interpret mode (tests).
-Real-hardware Mosaic compilation was attempted in round 2 and again in round 3
-and OOM-kills the remote compile helper (SIGKILL) even in isolation — the
-(TILE, 63, 1024) one-hot intermediates blow up Mosaic's compile-time memory
-even at TILE=8 (see docs/DESIGN.md §6 for the measured detail). The round-2
-fix went into the XLA packer instead (one-hot MXU lookups), which production
-paths use; this module stays an opt-in appendix (`use_pallas_pack=True`,
-correct via interpret-mode tests) until a Mosaic release can compile it.
+Status (round 4): the two-stage 32-wide lookup restructure (mirroring the
+XLA packer's bitpack.py fix) made the kernel COMPILE on the real v5e at
+TILE=16 — the round-2/3 Mosaic OOM is gone — and its buffers/totals are
+bit-exact vs the XLA level 1 on hardware. But it measured 154.5 ms for a 4K
+block array vs 15.7 ms for the XLA formulation (12K tiny grid steps; lane
+dim 64 half-fills the vregs), and TILE >= 64 still fails the remote Mosaic
+compile (helper exit 1). The axis is closed as a measured negative result
+(docs/DESIGN.md §6 round-4 log): production stays on the XLA packer; this
+module remains the `use_pallas_pack=True` opt-in appendix, now validated on
+hardware rather than only in interpret mode.
 """
 
 from __future__ import annotations
@@ -77,12 +79,12 @@ def _cumsum_lanes(x):
     return out.astype(jnp.int32)
 
 
-def _kernel(blocks_ref, tbl_ref, codes_ref, lens_ref, buf_ref, total_ref,
+def _kernel(blocks_ref, tbl_ref, ac_t1_ref, dc_t_ref, buf_ref, total_ref,
             *, tile: int):
     v = blocks_ref[:]  # (tile, 64) int32
-    tbl = tbl_ref[:]  # (tile, 1) int32
-    codes = codes_ref[:]  # (1024, 1) f32: [dc0, dc1, ac0, ac1] x 256
-    lens = lens_ref[:]
+    tb16 = tbl_ref[:]  # (tile, 1) int32: table id * 16
+    ac_t1 = ac_t1_ref[:]  # (32, 16) f32: code*32+len by [(tbl, run), size]
+    dc_t = dc_t_ref[:]  # (32, 1) f32: code*32+len by (tbl, size)
 
     # All bit manipulation in int32 (Mosaic lowers unsigned casts poorly);
     # shifts that must not replicate the sign bit use shift_right_logical,
@@ -103,43 +105,46 @@ def _kernel(blocks_ref, tbl_ref, codes_ref, lens_ref, buf_ref, total_ref,
     run = jnp.where(nz, idx - prev - 1, 0)
     last_nz = cmax[:, -1:]
 
-    # Huffman lookups as one-hot MXU dots against the merged (1024,) tables:
-    # flat symbol index = class_base + tbl*256 + symbol.
-    def lut(flat_sym):  # (tile, n) int32 -> (code i32, len i32)
-        # HIGHEST: codes span 16 bits; default bf16 MXU passes are exact only
-        # to 2^8 and would silently corrupt codes on hardware.
-        oh = jax.nn.one_hot(flat_sym, 1024, dtype=jnp.float32)  # (tile, n, 1024)
-        c = jax.lax.dot_general(
-            oh, codes[:, 0],
+    # Huffman lookups as TWO-STAGE one-hot MXU dots (round-4 restructure,
+    # VERDICT item 6): stage 1 one-hots only (tbl, run) — 32 wide — into 16
+    # size-candidates per element; stage 2 selects by size elementwise. The
+    # round-2/3 merged-table form materialized (tile, 63, 1024) one-hots,
+    # which OOM-killed the Mosaic compile; these are 32x smaller — the exact
+    # restructuring that already fixed the XLA packer (bitpack.py).
+    # HIGHEST: packed values reach 2^21; default bf16 MXU passes are exact
+    # only to 2^8 and would silently corrupt codes on hardware.
+    def lut32(idx, table):  # (tile, n) int32 in [0,32) -> packed i32
+        oh = jax.nn.one_hot(idx, 32, dtype=jnp.float32)  # (tile, n, 32)
+        p = jax.lax.dot_general(
+            oh, table,
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )
-        l = jax.lax.dot_general(
-            oh, lens[:, 0],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return c.astype(jnp.int32), l.astype(jnp.int32)
+        )  # (tile, n, table.shape[1])
+        return p
 
-    # DC records.
+    # DC records: 32-wide one-hot over (tbl, size).
     dsize = size[:, :1]
-    dc_code, dc_len = lut(tbl + dsize)  # dc class base 0, tables at 0/256
+    dcp = lut32(tb16 + dsize, dc_t)[:, :, 0].astype(jnp.int32)
+    dc_code = jax.lax.shift_right_logical(dcp, 5)
+    dc_len = dcp & 31
     dbits = (dc_code << dsize) | amp[:, :1]
     dnbits = dc_len + dsize
 
-    # AC (run, size) records.
-    sym = ((run & 15) << 4) | size
-    ac_base = 512 + tbl  # (tile, 1): 512 + tbl*256... tbl is id*256 already
-    ac_code, ac_len = lut(ac_base + jnp.where(nz, sym, 0)[:, 1:])
-    ac_code = jnp.where(nz[:, 1:], ac_code, 0)
-    ac_len = jnp.where(nz[:, 1:], ac_len, 0)
+    # AC (run, size) records: stage 1 over (tbl, run), stage 2 size select.
+    cand = lut32(tb16 + (run & 15)[:, 1:], ac_t1)  # (tile, 63, 16)
+    size_oh = jax.nn.one_hot(size[:, 1:], 16, dtype=jnp.float32)
+    acp = jnp.sum(cand * size_oh, axis=-1).astype(jnp.int32)
+    ac_code = jnp.where(nz[:, 1:], jax.lax.shift_right_logical(acp, 5), 0)
+    ac_len = jnp.where(nz[:, 1:], acp & 31, 0)
     cbits = (ac_code << size[:, 1:]) | jnp.where(nz[:, 1:], amp[:, 1:], 0)
     cn = ac_len + jnp.where(nz[:, 1:], size[:, 1:], 0)
 
-    # ZRL channels.
-    zrl_code, zrl_len = lut(ac_base + 0xF0)  # (tile, 1)
+    # ZRL channels: symbol 0xF0 = (run 15, size 0) -> ac_t1 row tb16+15,
+    # column 0.
+    zp = lut32(tb16 + 15, ac_t1)[:, :, 0].astype(jnp.int32)  # (tile, 1)
+    zrl_code = jax.lax.shift_right_logical(zp, 5)
+    zrl_len = zp & 31
     kz = jnp.where(nz, run >> 4, 0)[:, 1:]
     pair = (zrl_code << zrl_len) | zrl_code
     n0 = jnp.minimum(kz, 2) * zrl_len
@@ -147,11 +152,11 @@ def _kernel(blocks_ref, tbl_ref, codes_ref, lens_ref, buf_ref, total_ref,
     n1 = jnp.maximum(kz - 2, 0) * zrl_len
     b1 = jnp.where(kz >= 3, zrl_code, 0)
 
-    # EOB.
-    eob_code, eob_len = lut(ac_base)  # symbol 0
+    # EOB: symbol 0 = (run 0, size 0) -> ac_t1 row tb16, column 0.
+    ep = lut32(tb16, ac_t1)[:, :, 0].astype(jnp.int32)
     has_eob = last_nz < 63
-    ebits = jnp.where(has_eob, eob_code, 0)
-    enbits = jnp.where(has_eob, eob_len, 0)
+    ebits = jnp.where(has_eob, jax.lax.shift_right_logical(ep, 5), 0)
+    enbits = jnp.where(has_eob, ep & 31, 0)
 
     # Emission order: [DC | (zrl_pair, zrl_single, code)x63 | EOB] = 191.
     # Mosaic rejects the (tile, 63, 3) -> (tile, 189) interleave reshape, so
@@ -222,16 +227,12 @@ def pack_level1_pallas(blocks, tbl, dc_code, dc_len, ac_code, ac_len,
         tbl = jnp.concatenate([tbl, jnp.zeros((pad,), tbl.dtype)], axis=0)
     bp = blocks.shape[0]
 
-    # Merge the four tables into one (1024,) f32 array (values <= 2^16 are
-    # exact in f32): [dc tbl0 | dc tbl1 | ac tbl0 | ac tbl1].
-    codes = jnp.concatenate(
-        [dc_code.astype(jnp.float32).reshape(512),
-         ac_code.astype(jnp.float32).reshape(512)]
-    )[:, None]
-    lens = jnp.concatenate(
-        [dc_len.astype(jnp.float32).reshape(512),
-         ac_len.astype(jnp.float32).reshape(512)]
-    )[:, None]
+    # Two-stage lookup tables, packed code*32+len (<= 2^21, exact in f32):
+    # ac_t1 (32, 16) by [(tbl, run), size]; dc_t (32, 1) by (tbl, size).
+    ac_t1 = (ac_code.astype(jnp.float32) * 32.0
+             + ac_len.astype(jnp.float32)).reshape(32, 16)
+    dc_t = (dc_code[:, :16].astype(jnp.float32) * 32.0
+            + dc_len[:, :16].astype(jnp.float32)).reshape(32, 1)
 
     buf, total = pl.pallas_call(
         functools.partial(_kernel, tile=TILE),
@@ -243,8 +244,8 @@ def pack_level1_pallas(blocks, tbl, dc_code, dc_len, ac_code, ac_len,
         in_specs=[
             pl.BlockSpec((TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1024, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1024, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((TILE, BLOCK_WORDS + 1), lambda i: (i, 0),
@@ -254,9 +255,9 @@ def pack_level1_pallas(blocks, tbl, dc_code, dc_len, ac_code, ac_len,
         interpret=interpret,
     )(
         blocks.astype(jnp.int32),
-        (tbl.astype(jnp.int32) * 256)[:, None],
-        codes,
-        lens,
+        (tbl.astype(jnp.int32) * 16)[:, None],
+        ac_t1,
+        dc_t,
     )
     return jax.lax.bitcast_convert_type(buf[:b], jnp.uint32), total[:b, 0]
 
