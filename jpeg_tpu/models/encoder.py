@@ -214,29 +214,31 @@ def _transform_color_packed(
             lambda b2, t2: pack_pallas.pack_level2(b2, t2, nwords)
         )(buf.reshape(nseg, seg_blocks, -1), t_b.reshape(nseg, seg_blocks))
 
-    bits, nbits = bitpack.build_bitfields(
-        blocks, tbl, dc_code, dc_len, ac_code, ac_len
-    )
     wpb = WORDS_PER_BLOCK * scale
     blk_w = bitpack.BLOCK_WORDS * scale
     if group == "tree":
-        # Narrow per-block level 1 + block->MCU shift-combine + per-MCU
-        # level 2 (bitpack.pack_bits_tree) — per-MCU budget bpm*128*scale
-        # bits AND per-block budget 288*scale bits (fallback beyond).
+        # Fused channel-wise level 1 straight from coefficients (no
+        # materialized record stream) + block->MCU shift-combine + per-MCU
+        # level-2 tree (bitpack.pack_blocks_tree) — per-MCU budget
+        # bpm*128*scale bits AND per-block budget 288*scale bits (fallback
+        # beyond).
         mcu_w = bpm * 4 * scale
         if r == 0 or r >= n_mcu:
             nwords = nblocks * wpb + 2
-            words, total, ok = bitpack.pack_bits_tree(
-                bits, nbits, nwords, bpm, blk_w, mcu_w)
+            words, total, ok = bitpack.pack_blocks_tree(
+                blocks, tbl, dc_code, dc_len, ac_code, ac_len,
+                nwords, bpm, blk_w, mcu_w)
             return words[None], total[None], ok[None]
         nseg = n_mcu // r
         nwords = r * bpm * wpb + 2
-        bits = bits.reshape(nseg, -1, 191)
-        nbits = nbits.reshape(nseg, -1, 191)
         return jax.vmap(
-            lambda b, n: bitpack.pack_bits_tree(b, n, nwords, bpm, blk_w,
-                                                mcu_w)
-        )(bits, nbits)
+            lambda b, t: bitpack.pack_blocks_tree(
+                b, t, dc_code, dc_len, ac_code, ac_len, nwords, bpm,
+                blk_w, mcu_w)
+        )(blocks.reshape(nseg, -1, 64), tbl.reshape(nseg, -1))
+    bits, nbits = bitpack.build_bitfields(
+        blocks, tbl, dc_code, dc_len, ac_code, ac_len
+    )
     if group == "mcu":
         fields = bpm * 191
         bw = bpm * 4 * scale  # 128*scale bits/block within the MCU budget

@@ -162,6 +162,125 @@ def build_bitfields(blocks, tbl, dc_code, dc_len, ac_code, ac_len):
 BLOCK_WORDS = 9
 
 
+def _emit_channel(bits, nbits, starts, block_words: int):
+    """Level-1 word-buffer contribution of one record channel: (B, n)
+    fields at in-block bit offsets `starts` -> (B, block_words+1) uint32
+    (the masked-reduce emission, per channel)."""
+    hi, lo = _field_split(bits, nbits, starts)
+    w_r = jnp.clip(starts >> 5, 0, block_words - 1)
+    wg = jnp.arange(block_words + 1, dtype=jnp.int32)[None, None, :]
+    return jnp.sum(
+        jnp.where(w_r[:, :, None] == wg, hi[:, :, None], jnp.uint32(0))
+        + jnp.where((w_r + 1)[:, :, None] == wg, lo[:, :, None],
+                    jnp.uint32(0)),
+        axis=1,
+        dtype=jnp.uint32,
+    )
+
+
+def _level1_channels(blocks, tbl, dc_code, dc_len, ac_code, ac_len,
+                     block_words: int = BLOCK_WORDS):
+    """Fused field build + level 1: (B, 64) zig-zag blocks -> per-block
+    ((B, block_words+1) uint32 buffers, (B,) int32 bit totals) WITHOUT
+    materializing the interleaved 191-field record stream (build_bitfields'
+    (B, 191) bits/nbits plus stack intermediates measured ~10.4 of the
+    15.7 ms XLA level 1 on a 4K block array — r4 probe). Channel start
+    offsets come from ONE cumsum over per-position totals; each channel
+    emits into the word buffer independently (the emission arithmetic of
+    the Pallas kernel, in XLA). Lookups are bf16 one-hot dots against
+    byte-plane-split tables — 0/1 x <=255 products with f32 accumulation
+    are exact, at half the one-hot traffic and 1/2 the MXU passes of the
+    f32 HIGHEST form. Byte-identical to build_bitfields + _level1_mask."""
+    from jpeg_tpu.ops import symbols
+
+    blocks = blocks.astype(jnp.int32)
+    tbl = tbl.astype(jnp.int32)
+    nb = blocks.shape[0]
+
+    def dot_planes(oh, table_int):
+        """one-hot (B, n, K) bf16 x (K, M) int table (<= 2^24) -> exact
+        (B, n, M) int32 via three byte-plane DEFAULT dots."""
+        acc = None
+        for shift in (16, 8, 0):
+            plane = ((table_int >> shift) & 255).astype(jnp.bfloat16)
+            p = jax.lax.dot_general(
+                oh, plane, (((oh.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            acc = p if acc is None else (acc << 8) + p
+        return acc
+
+    # DC: 32-wide one-hot over (tbl, size).
+    dc = blocks[:, 0]
+    dsize = symbols.bit_size(dc)
+    dc_t = (dc_code[:, :16].astype(jnp.int32) * 32
+            + dc_len[:, :16].astype(jnp.int32)).reshape(32, 1)
+    oh_dc = jax.nn.one_hot(tbl * 16 + dsize, 32, dtype=jnp.bfloat16)
+    dcp = dot_planes(oh_dc[:, None, :], dc_t)[:, 0, 0]
+    dcode = jax.lax.shift_right_logical(dcp, 5).astype(jnp.uint32)
+    dlen = dcp & 31
+    dbits = (dcode << dsize.astype(jnp.uint32)) | _amp_bits(dc, dsize)
+    dnbits = dlen + dsize
+
+    # AC stage 1: 32-wide one-hot over (tbl, run) -> 16 size candidates.
+    nz, run, last_nz = symbols.ac_run_lengths(blocks)
+    nz = nz[:, 1:]
+    run = jnp.where(nz, run[:, 1:], 0)
+    v = blocks[:, 1:]
+    size = jnp.where(nz, symbols.bit_size(v), 0)
+    ac_t1 = (ac_code.astype(jnp.int32) * 32
+             + ac_len.astype(jnp.int32)).reshape(32, 16)
+    oh = jax.nn.one_hot(tbl[:, None] * 16 + (run & 15), 32,
+                        dtype=jnp.bfloat16)
+    cand = dot_planes(oh, ac_t1)  # (B, 63, 16) int32
+    # AC stage 2: elementwise select by size.
+    sel = jnp.sum(
+        cand * jax.nn.one_hot(size, 16, dtype=jnp.int32), axis=-1
+    )
+    code = jax.lax.shift_right_logical(sel, 5).astype(jnp.uint32)
+    aclen = sel & 31
+    clen = jnp.where(nz, aclen, 0)
+    cbits = jnp.where(
+        nz, (code << size.astype(jnp.uint32)) | _amp_bits(v, size), 0
+    )
+    cn = clen + size
+
+    # ZRL / EOB: two possible values each — selects.
+    is1 = tbl[:, None] == 1
+    zc = jnp.where(is1, ac_code[1, 0xF0], ac_code[0, 0xF0])
+    zl = jnp.where(is1, ac_len[1, 0xF0], ac_len[0, 0xF0])
+    kz = jnp.where(nz, run >> 4, 0)
+    pair = (zc << zl.astype(jnp.uint32)) | zc
+    n0 = jnp.minimum(kz, 2) * zl
+    b0 = jnp.where(kz >= 2, pair, jnp.where(kz == 1, zc, 0))
+    n1 = jnp.maximum(kz - 2, 0) * zl
+    b1 = jnp.where(kz >= 3, zc, 0)
+    eob = last_nz < 63
+    e1 = tbl == 1
+    ebits = jnp.where(eob, jnp.where(e1, ac_code[1, 0], ac_code[0, 0]), 0)
+    enbits = jnp.where(eob, jnp.where(e1, ac_len[1, 0], ac_len[0, 0]), 0)
+
+    # Channel start offsets from ONE cumsum over per-position totals
+    # (emission order per position: b0 -> b1 -> code; then EOB).
+    t_slot = n0 + n1 + cn
+    p_incl = jnp.cumsum(t_slot, axis=1)
+    s0 = dnbits[:, None] + (p_incl - t_slot)
+    s1 = s0 + n0
+    s2 = s1 + n1
+    se = dnbits[:, None] + p_incl[:, -1:]
+    t_b = se[:, 0] + enbits
+
+    buf = (
+        _emit_channel(dbits[:, None], dnbits[:, None],
+                      jnp.zeros((nb, 1), jnp.int32), block_words)
+        + _emit_channel(b0, n0, s0, block_words)
+        + _emit_channel(b1, n1, s1, block_words)
+        + _emit_channel(cbits, cn, s2, block_words)
+        + _emit_channel(ebits[:, None], enbits[:, None], se, block_words)
+    )
+    return buf, t_b
+
+
 def _field_split(bits, nbits, starts):
     """Split each <=32-bit field into (hi, lo) word contributions given its
     start bit offset. All shifts clamped to [0, 31]: the unselected jnp.where
@@ -254,6 +373,70 @@ def concat_bitstreams_tree(buf, t, nwords: int):
     return words, total
 
 
+def _subword_shift_nd(buf, sbits):
+    """_subword_shift over arbitrary leading dims: buf (..., C), sbits
+    (..., 1) -> (..., C+1)."""
+    zero = jnp.zeros(buf.shape[:-1] + (1,), jnp.uint32)
+    ext = jnp.concatenate([buf, zero], axis=-1)
+    prev = jnp.concatenate([zero, buf], axis=-1)
+    su = sbits.astype(jnp.uint32)
+    return (ext >> su) | jnp.where(
+        sbits > 0, prev << jnp.clip(32 - sbits, 0, 31).astype(jnp.uint32), 0
+    )
+
+
+def _level1_tree(bits, nbits, block_words: int):
+    """Per-group word buffers via a log-depth IN-BLOCK shift-OR tree: each
+    <=32-bit field becomes a 1-word left-aligned buffer, then pairwise
+    bitstream concatenation with the capacity clamped at block_words+1 (a
+    group's content is bounded by the whole group's bit total, which the ok
+    budget bounds by block_words*32; overflowing blocks produce garbage
+    buffers exactly like the masked reduce — ok=False covers both).
+
+    Replaces level 1's (B, R, block_words+1)-lane masked reduce, whose
+    ~11x-per-field select traffic measured 15.7 ms of the 4K pack: the tree
+    touches ~sum_l min(2^l, bw+1) * R/2^l word lanes (~2.5x less).
+    Returns ((B, block_words+1) uint32 buffers, (B,) int32 totals) —
+    bit-identical to the masked reduce for in-budget blocks."""
+    nbits = nbits.astype(jnp.int32)
+    b, r = bits.shape
+    t_b = jnp.sum(nbits, axis=1)
+    rp = 1 << (r - 1).bit_length()
+    if rp != r:
+        bits = jnp.pad(bits, ((0, 0), (0, rp - r)))
+        nbits = jnp.pad(nbits, ((0, 0), (0, rp - r)))
+    # Left-align each field in its own word.
+    buf = jnp.where(
+        nbits > 0,
+        bits << jnp.clip(32 - nbits, 0, 31).astype(jnp.uint32),
+        jnp.uint32(0),
+    )[..., None]  # (B, rp, 1)
+    t = nbits
+    cap_max = block_words + 1
+    while buf.shape[1] > 1:
+        left, right = buf[:, 0::2], buf[:, 1::2]
+        tl, tr = t[:, 0::2], t[:, 1::2]
+        c = buf.shape[2]
+        new_c = min(2 * c, cap_max)
+        rs = _subword_shift_nd(right, (tl & 31)[..., None])  # (B, G, c+1)
+        if rs.shape[2] < new_c:
+            rs = jnp.pad(rs, ((0, 0), (0, 0), (0, new_c - rs.shape[2])))
+        else:
+            rs = rs[:, :, :new_c]
+        w = (tl >> 5)[..., None]
+        bshift = 1
+        while bshift < new_c:
+            shifted = jnp.pad(
+                rs, ((0, 0), (0, 0), (bshift, 0)))[:, :, :new_c]
+            rs = jnp.where((w & bshift) != 0, shifted, rs)
+            bshift <<= 1
+        if c < new_c:
+            left = jnp.pad(left, ((0, 0), (0, 0), (0, new_c - c)))
+        buf = left | rs
+        t = tl + tr
+    return buf[:, 0, :cap_max], t_b
+
+
 def _level2_segment_sum(buf, t, nwords: int):
     """The round-3 level-2 formulation, kept for A/B probes and the identity
     test: global bit offsets by prefix sum, sub-word shift each group buffer
@@ -288,8 +471,35 @@ def _level2(buf, t, nwords: int, level2: str):
     raise ValueError(f"unknown level2 formulation: {level2!r}")
 
 
+def _level1_mask(bits, nbits, block_words: int):
+    """The r2/r3 level-1 formulation: one-hot masked reduce of every field's
+    (hi, lo) word contributions over block_words+1 lanes. Kept for A/B;
+    bit-identical to _level1_tree for in-budget groups."""
+    nbits = nbits.astype(jnp.int32)
+    starts = jnp.cumsum(nbits, axis=1) - nbits
+    t_b = starts[:, -1] + nbits[:, -1]
+    hi, lo = _field_split(bits, nbits, starts)
+    w_r = jnp.clip(starts >> 5, 0, block_words - 1)
+    wg = jnp.arange(block_words + 1, dtype=jnp.int32)[None, None, :]
+    buf = jnp.sum(
+        jnp.where(w_r[:, :, None] == wg, hi[:, :, None], jnp.uint32(0))
+        + jnp.where((w_r + 1)[:, :, None] == wg, lo[:, :, None], jnp.uint32(0)),
+        axis=1,
+        dtype=jnp.uint32,
+    )  # (B, block_words+1); the +1 lane catches lo spill of the last word
+    return buf, t_b
+
+
+def _level1(bits, nbits, block_words: int, level1: str):
+    if level1 == "tree":
+        return _level1_tree(bits, nbits, block_words)
+    if level1 == "mask":
+        return _level1_mask(bits, nbits, block_words)
+    raise ValueError(f"unknown level1 formulation: {level1!r}")
+
+
 def pack_bits(bits, nbits, nwords: int, block_words: int = BLOCK_WORDS,
-              level2: str = "tree_or"):
+              level2: str = "tree_or", level1: str = "mask"):
     """Assemble (B, R) per-group <=32-bit fields into an (nwords,) uint32
     big-endian word stream. Returns (words, total_bits, ok).
 
@@ -315,25 +525,8 @@ def pack_bits(bits, nbits, nwords: int, block_words: int = BLOCK_WORDS,
     ok=False when any block overflowed BLOCK_WORDS*32 bits or the stream
     overflowed nwords; callers must then repack on the host.
     """
-    nbits = nbits.astype(jnp.int32)
-    nblocks = bits.shape[0]
-
-    # Within-group field offsets and group totals.
-    starts = jnp.cumsum(nbits, axis=1) - nbits
-    t_b = starts[:, -1] + nbits[:, -1]  # (B,) bits per group
-
-    hi, lo = _field_split(bits, nbits, starts)
-    w_r = jnp.clip(starts >> 5, 0, block_words - 1)  # (B, R) word-in-group
-
-    # Level 1: one-hot masked reduce into per-group buffers (B, block_words+1).
-    wg = jnp.arange(block_words + 1, dtype=jnp.int32)[None, None, :]
-    buf = jnp.sum(
-        jnp.where(w_r[:, :, None] == wg, hi[:, :, None], jnp.uint32(0))
-        + jnp.where((w_r + 1)[:, :, None] == wg, lo[:, :, None], jnp.uint32(0)),
-        axis=1,
-        dtype=jnp.uint32,
-    )  # (B, BLOCK_WORDS+1); the +1 lane catches lo spill of the last word
-
+    # Level 1: per-group buffers (B, block_words+1).
+    buf, t_b = _level1(bits, nbits, block_words, level1)
     # Level 2: concatenate the group buffers into the stream.
     words, total = _level2(buf, t_b, nwords, level2)
     ok = (jnp.max(t_b) <= block_words * 32) & (total <= nwords * 32)
@@ -342,7 +535,7 @@ def pack_bits(bits, nbits, nwords: int, block_words: int = BLOCK_WORDS,
 
 def pack_bits_tree(bits, nbits, nwords: int, bpm: int,
                    block_words: int = BLOCK_WORDS, mcu_words: int | None = None,
-                   level2: str = "tree_or"):
+                   level2: str = "tree_or", level1: str = "mask"):
     """Three-level pack: per-BLOCK one-hot reduce (narrow), shift-combine the
     MCU's blocks into a per-MCU buffer, then the per-MCU log-depth shift-OR
     tree (concat_bitstreams_tree). Same (words, total, ok) contract as
@@ -363,19 +556,25 @@ def pack_bits_tree(bits, nbits, nwords: int, bpm: int,
         mcu_words = bpm * 4  # same MCU budget as pack_bits' "mcu" grouping
 
     # Level 1: per-block buffers, narrow (block_words + 1 spill lane).
-    starts = jnp.cumsum(nbits, axis=1) - nbits
-    t_b = starts[:, -1] + nbits[:, -1]  # (B,) bits per block
-    hi, lo = _field_split(bits, nbits, starts)
-    w_r = jnp.clip(starts >> 5, 0, block_words - 1)
-    wg = jnp.arange(block_words + 1, dtype=jnp.int32)[None, None, :]
-    buf = jnp.sum(
-        jnp.where(w_r[:, :, None] == wg, hi[:, :, None], jnp.uint32(0))
-        + jnp.where((w_r + 1)[:, :, None] == wg, lo[:, :, None], jnp.uint32(0)),
-        axis=1,
-        dtype=jnp.uint32,
-    )  # (B, block_words+1)
+    buf, t_b = _level1(bits, nbits, block_words, level1)
 
-    # Level 1.5: place each block's buffer at its bit offset inside the MCU.
+    mcu_buf, t_m = _combine_to_mcu(buf, t_b, bpm, block_words, mcu_words)
+
+    # Level 2: identical to pack_bits, at MCU granularity.
+    words, total = _level2(mcu_buf, t_m, nwords, level2)
+    ok = (
+        (jnp.max(t_b) <= block_words * 32)
+        & (jnp.max(t_m) <= mcu_words * 32)
+        & (total <= nwords * 32)
+    )
+    return words, total, ok
+
+
+def _combine_to_mcu(buf, t_b, bpm: int, block_words: int, mcu_words: int):
+    """Level 1.5: place each block's buffer at its bit offset inside its MCU
+    -> ((nm, mcu_words+1) uint32 buffers, (nm,) bit totals)."""
+    nblocks = buf.shape[0]
+    nm = nblocks // bpm
     tb_m = t_b.reshape(nm, bpm)
     boff = jnp.cumsum(tb_m, axis=1) - tb_m           # (nm, bpm) bit offsets
     t_m = jnp.sum(tb_m, axis=1)                      # (nm,) bits per MCU
@@ -399,9 +598,24 @@ def pack_bits_tree(bits, nbits, nwords: int, bpm: int,
         axis=(1, 2),
         dtype=jnp.uint32,
     )  # (nm, mcu_words+1)
+    return mcu_buf, t_m
 
-    # Level 2: identical to pack_bits, at MCU granularity.
-    words, total = _level2(mcu_buf, t_m, nwords, level2)
+
+def pack_blocks_tree(blocks, tbl, dc_code, dc_len, ac_code, ac_len,
+                     nwords: int, bpm: int,
+                     block_words: int = BLOCK_WORDS,
+                     mcu_words: int | None = None):
+    """Fused device pack straight from coefficient blocks: channel-wise
+    level 1 (_level1_channels — no materialized 191-field record stream),
+    block->MCU shift-combine, log-depth level-2 tree. Byte-identical to
+    build_bitfields + pack_bits_tree; the round-4 default for the encoder's
+    "tree" group."""
+    if mcu_words is None:
+        mcu_words = bpm * 4
+    buf, t_b = _level1_channels(
+        blocks, tbl, dc_code, dc_len, ac_code, ac_len, block_words)
+    mcu_buf, t_m = _combine_to_mcu(buf, t_b, bpm, block_words, mcu_words)
+    words, total = _level2(mcu_buf, t_m, nwords, "tree_or")
     ok = (
         (jnp.max(t_b) <= block_words * 32)
         & (jnp.max(t_m) <= mcu_words * 32)

@@ -65,6 +65,11 @@ def test_level2_tree_or_matches_segment_sum(rng):
             if bool(c[2]):
                 np.testing.assert_array_equal(np.asarray(c[0]),
                                               np.asarray(d[0]))
+        # level-1 formulations (in-block shift-OR tree vs masked reduce)
+        e = bitpack.pack_bits(bits, nbits, nwords, level1="mask")
+        assert int(e[1]) == int(a[1]) and bool(e[2]) == bool(a[2])
+        if bool(a[2]):
+            np.testing.assert_array_equal(np.asarray(e[0]), np.asarray(a[0]))
     assert n_ok >= 3  # the identity must actually be exercised
 
 
