@@ -98,3 +98,56 @@ for trial in range(60):
     except (ValueError, jfif.JpegFormatError):
         pass
 print("ASAN native fuzz: OK (incl. progressive)")
+
+# ---- round-4 native additions: finalize_scan + pack_payload ---------------
+from jpeg_tpu.entropy import decode_device
+from jpeg_tpu.ops import bitpack as _bp
+
+for trial in range(20):
+    nseg = int(rng.integers(1, 9))
+    W = int(rng.integers(1, 80))
+    words = rng.integers(0, 1 << 32, (nseg, W), dtype=np.uint64).astype(np.uint32)
+    words[rng.random((nseg, W)) < 0.3] |= np.uint32(0xFF000000)
+    totals = rng.integers(1, W * 32 + 1, nseg)
+    rb = int(rng.integers(0, 8))
+    got = native.finalize_scan(words, totals, rb)
+    parts = []
+    for s in range(nseg):
+        parts.append(_bp.finalize_segment(words[s], int(totals[s])).tobytes())
+        if s != nseg - 1:
+            parts.append(bytes([0xFF, 0xD0 + ((rb + s) & 7)]))
+    assert got == b"".join(parts), f"finalize trial {trial}"
+
+_orig_avail = native.available
+for trial in range(20):
+    B = int(rng.integers(1, 120))
+    counts = rng.integers(0, 12, B).astype(np.uint8)
+    S = int(counts.sum())
+    ks = np.concatenate([
+        np.sort(rng.choice(np.arange(1, 64), size=c, replace=False))
+        for c in counts
+    ]) if S else np.zeros(0, np.uint8)
+    ks = ks.astype(np.uint8)
+    vals = rng.integers(-1023, 1024, S).astype(np.int16)
+    vals[vals == 0] = 1
+    dc = rng.integers(-2047, 2048, B).astype(np.int32)
+    Sp = decode_device.sparse_bucket(S)
+    Ep = decode_device.exception_bucket(
+        int(np.count_nonzero(np.abs(vals.astype(np.int32)) > 7)))
+    Edp = decode_device.exception_bucket(decode_device.dc_diff_exceptions(dc))
+    a = native.pack_payload(vals, ks, counts, dc, Sp, Ep, Edp)
+    native.available = lambda: False
+    try:
+        b = decode_device.build_payload(vals, ks, counts, dc, Sp, Ep, Edp)
+    finally:
+        native.available = _orig_avail
+    np.testing.assert_array_equal(a, b, err_msg=f"pack_payload trial {trial}")
+    # undersized exception buckets must raise, not overflow
+    if np.count_nonzero(np.abs(vals.astype(np.int32)) > 7) > 0:
+        try:
+            native.pack_payload(vals, ks, counts, dc, Sp, 0, Edp)
+            raise AssertionError("expected ValueError for Ep=0")
+        except ValueError:
+            pass
+
+print("asan fuzz ok (incl. finalize_scan + pack_payload)")
