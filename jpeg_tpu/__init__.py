@@ -11,5 +11,6 @@ from jpeg_tpu.config import EncodeConfig, Subsampling  # noqa: F401
 from jpeg_tpu.models.decoder import decode, decode_batched  # noqa: F401
 from jpeg_tpu.models.encoder import encode, encode_bmp_to_jpeg, encode_rgb_to_jpeg  # noqa: F401
 from jpeg_tpu.models.multiscan import encode_noninterleaved  # noqa: F401
+from jpeg_tpu.parallel.pipeline import decode_stream, encode_stream  # noqa: F401
 
 __version__ = "0.1.0"

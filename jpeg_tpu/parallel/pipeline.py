@@ -86,3 +86,39 @@ def encode_stream(
             yield finish(pending.popleft())
     while pending:
         yield finish(pending.popleft())
+
+
+def decode_stream(
+    datas: Iterable[bytes],
+    fancy_upsample: bool = True,
+    scale_denom: int = 1,
+    depth: int = 2,
+    entropy: str = "auto",
+    device_output: bool = False,
+) -> Iterator[np.ndarray]:
+    """Decode a stream of JPEGs, keeping `depth` decodes in flight on worker
+    threads so the host entropy walk of stream i+1 overlaps the device
+    programs (payload upload, densify, finish) of stream i — the serving
+    shape bench.py measures as "decode pipelined" (the decode twin of
+    encode_stream). Yields decoded arrays in input order.
+
+    Streams may differ in geometry, sampling, tables — each decode is fully
+    independent (unlike decode_batched's one-program homogeneous batch)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from jpeg_tpu.models.decoder import decode
+
+    with ThreadPoolExecutor(max(2, depth)) as pool:
+        pending: collections.deque = collections.deque()
+        for d in datas:
+            pending.append(pool.submit(
+                decode, d, fancy_upsample=fancy_upsample,
+                scale_denom=scale_denom, entropy=entropy,
+                device_output=True,
+            ))
+            if len(pending) > depth:
+                out = pending.popleft().result()
+                yield out if device_output else np.asarray(out)
+        while pending:
+            out = pending.popleft().result()
+            yield out if device_output else np.asarray(out)

@@ -278,3 +278,26 @@ def test_decode_batch_rejects_mixed_streams(rng):
     b = pbatch.encode_batch(imgs, quality=50, subsampling="420", mesh=mesh)
     with pytest.raises(ValueError):
         pbatch.decode_batch([a[0], b[1]], mesh=mesh)
+
+
+def test_decode_stream_matches_per_image(tiger):
+    """decode_stream yields per-image-identical pixels in input order, with
+    heterogeneous geometries/settings in one stream."""
+    from jpeg_tpu import decode, encode
+    from jpeg_tpu.parallel.pipeline import decode_stream
+
+    datas = [
+        encode(tiger, quality=80, subsampling="420"),
+        encode(tiger[:128, :160], quality=60, subsampling="444",
+               restart_interval=3),
+        encode(255 - tiger, quality=90, subsampling="422",
+               optimize_tables=True),
+        encode(tiger[..., 0], quality=75),  # grayscale mid-stream
+    ]
+    outs = list(decode_stream(datas, depth=2))
+    assert len(outs) == len(datas)
+    for d, got in zip(datas, outs):
+        np.testing.assert_array_equal(got, decode(d))
+    s2 = list(decode_stream(datas[:2], scale_denom=2))
+    for d, got in zip(datas[:2], s2):
+        np.testing.assert_array_equal(got, decode(d, scale_denom=2))
