@@ -289,7 +289,7 @@ def child(platform: str) -> None:
 
     # --- decode: device-resident (pixels stay in HBM — the serving case) ---
     dec_rate = dec_resident_rate = dec_scale8_rate = dec_sustained_rate = None
-    dec_batched_rate = None
+    dec_batched_rate = dec_program_rate = None
     dec_stages = {}
     try:
         entropy = "sparse" if use_device_pack else "auto"
@@ -301,6 +301,61 @@ def child(platform: str) -> None:
         dec_resident_rate = mpix / dec_res_s
         log(f"decode (device-resident): {dec_res_s*1e3:.1f} ms -> "
             f"{dec_resident_rate:.1f} MPix/s")
+
+        # Decode device program only (payload resident in HBM): the decode
+        # twin of the batched-encode program-only row — the tunnel-
+        # independent number (the transfer-inclusive rows swing ~5x with
+        # tunnel weather; this one doesn't).
+        if use_device_pack:
+            try:
+                from jpeg_tpu.entropy import decode_device as DD
+                from jpeg_tpu.models import decoder as D
+                from jpeg_tpu.models import layout as L
+
+                info = jfif.parse_jpeg(jpg)
+                comps = info.components
+                cy = comps[0]
+                mcu_rows = L.ceil_div(info.height, 8 * cy.v)
+                mcu_cols = L.ceil_div(info.width, 8 * cy.h)
+                n_mcu = mcu_rows * mcu_cols
+                ml = [(i, c.h * c.v, c.dc_id, c.ac_id)
+                      for i, c in enumerate(comps)]
+                payload, B, Sp, Ep, Edp = DD.sparse_payload(
+                    info.scan_data, n_mcu, ml, info.htables,
+                    info.restart_interval)
+                ranges, geo, base = [], [], 0
+                for c in comps:
+                    bpm = c.h * c.v
+                    ranges.append((base, base + bpm * n_mcu))
+                    geo.append((mcu_rows, mcu_cols, c.v, c.h)
+                               if bpm > 1 else None)
+                    base += bpm * n_mcu
+                hmax = max(c.h for c in comps)
+                vmax = max(c.v for c in comps)
+                shapes = tuple((mcu_rows * c.v, mcu_cols * c.h)
+                               for c in comps)
+                factors = tuple((hmax // c.h, vmax // c.v) for c in comps)
+                fancy = D.upsample_choices(info.width, comps, hmax, True)
+                qtabs = [jnp.asarray(info.qtables[c.qtab_id]) for c in comps]
+                djit = D._jit_finish_color_sparse(
+                    B, Sp, Ep, Edp, tuple(ranges), tuple(geo), shapes,
+                    factors, fancy, False, False, 8)
+                dev_payload = jax.device_put(jnp.asarray(payload))
+                sync(djit(dev_payload, *qtabs))
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    o = None
+                    for _ in range(16):
+                        o = djit(dev_payload, *qtabs)
+                    sync(o)
+                    best = min(best, (time.time() - t0) / 16)
+                dec_program_rate = mpix / best
+                log(f"decode device program only (densify+reorder+finish): "
+                    f"{best*1e3:.1f} ms -> {dec_program_rate:.1f} MPix/s")
+            except Exception as e:
+                log(f"decode program-only row failed: "
+                    f"{type(e).__name__}: {e}")
 
         # Sustained decode: the host entropy walk of image i+1 overlaps the
         # device programs of image i (two worker threads, same serving shape
@@ -440,6 +495,8 @@ def child(platform: str) -> None:
         result["encode_batched_mpix_s"] = round(batched_rate, 2)
     if q95_rate is not None:
         result["encode_q95_mpix_s"] = round(q95_rate, 2)
+    if dec_program_rate is not None:
+        result["decode_program_mpix_s"] = round(dec_program_rate, 2)
     if dec_resident_rate is not None:
         result["decode_mpix_s"] = round(dec_resident_rate, 2)
     if dec_sustained_rate is not None:
