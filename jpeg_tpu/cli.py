@@ -73,6 +73,19 @@ def main(argv=None) -> int:
     mos.add_argument("--stripe-rows", type=int, default=None,
                      help="rows per streamed stripe (default ~32 MB)")
 
+    bat = sub.add_parser(
+        "batch", help="pipelined many-file encode (BMP->JPEG) or decode "
+        "(JPEG->BMP) via the streaming serving APIs")
+    bat.add_argument("inputs", nargs="+")
+    bat.add_argument("--outdir", "-o", required=True)
+    bat.add_argument("--decode", action="store_true",
+                     help="decode JPEGs to BMPs instead of encoding")
+    bat.add_argument("--quality", "-q", type=int, default=75)
+    bat.add_argument("--subsampling", "-s", default="420",
+                     choices=["444", "422", "420", "411", "440"])
+    bat.add_argument("--depth", type=int, default=2,
+                     help="device dispatches kept in flight")
+
     args = ap.parse_args(argv)
 
     from jpeg_tpu import decode, encode
@@ -178,6 +191,48 @@ def main(argv=None) -> int:
         mp = img.shape[0] * img.shape[1] / 1e6
         print(f"{args.input} ({mp:.1f} MPix) -> {args.output}: {len(data)} "
               f"bytes via {mesh.shape['mcu']} stripes, {dt*1e3:.0f} ms")
+        return 0
+
+    if args.cmd == "batch":
+        import os
+
+        from jpeg_tpu.parallel.pipeline import decode_stream, encode_stream
+
+        os.makedirs(args.outdir, exist_ok=True)
+        t0 = time.time()
+        mpix = 0.0
+        if args.decode:
+            datas = []
+            for p in args.inputs:
+                with open(p, "rb") as f:
+                    datas.append(f.read())
+            for p, img in zip(args.inputs, decode_stream(datas,
+                                                         depth=args.depth)):
+                if img.ndim == 2:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                elif img.shape[-1] == 4:
+                    from jpeg_tpu.ops import color as _color
+
+                    img = _color.cmyk_to_rgb(img)
+                mpix += img.shape[0] * img.shape[1] / 1e6
+                base = os.path.splitext(os.path.basename(p))[0]
+                bmp.write_bmp(os.path.join(args.outdir, base + ".bmp"), img)
+        else:
+            imgs = [bmp.read_bmp(p) for p in args.inputs]
+            mpix = sum(i.shape[0] * i.shape[1] / 1e6 for i in imgs)
+            stream = encode_stream(
+                imgs, quality=args.quality, subsampling=args.subsampling,
+                depth=args.depth,
+            )
+            for p, data in zip(args.inputs, stream):
+                base = os.path.splitext(os.path.basename(p))[0]
+                with open(os.path.join(args.outdir, base + ".jpg"),
+                          "wb") as f:
+                    f.write(data)
+        dt = time.time() - t0
+        verb = "decoded" if args.decode else "encoded"
+        print(f"{verb} {len(args.inputs)} files ({mpix:.1f} MPix) in "
+              f"{dt*1e3:.0f} ms ({mpix/dt:.1f} MPix/s)")
         return 0
 
     if args.cmd == "info":
