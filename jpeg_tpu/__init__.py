@@ -9,7 +9,9 @@ programs and entropy coding restructured for parallelism.
 
 from jpeg_tpu.config import EncodeConfig, Subsampling  # noqa: F401
 from jpeg_tpu.models.decoder import decode, decode_batched  # noqa: F401
-from jpeg_tpu.models.encoder import encode, encode_bmp_to_jpeg, encode_rgb_to_jpeg  # noqa: F401
+from jpeg_tpu.models.encoder import (  # noqa: F401
+    encode, encode_batched, encode_bmp_to_jpeg, encode_rgb_to_jpeg,
+)
 from jpeg_tpu.models.multiscan import encode_noninterleaved  # noqa: F401
 from jpeg_tpu.parallel.pipeline import decode_stream, encode_stream  # noqa: F401
 

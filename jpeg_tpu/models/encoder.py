@@ -428,6 +428,78 @@ def encode(
     raise ValueError(f"expected (H, W, 3) or (H, W) image, got {image.shape}")
 
 
+def encode_batched(
+    images,
+    quality: int = 75,
+    subsampling="420",
+    comment: str | None = None,
+    quant_tables=None,
+    device_pack: bool | None = None,
+) -> list[bytes]:
+    """Encode K same-shape RGB images with ONE batched device program — the
+    encode twin of decode_batched (single-chip dispatch-floor amortization;
+    the bench's encode_batched_mpix_s row is this program). Returns one JFIF
+    stream per image, byte-identical to per-image encode() (the exact
+    fixed-point transform makes the batched executable bit-identical to the
+    single-image one on every backend).
+
+    Images must share (H, W); on CPU backends or device-pack overflow the
+    whole batch transparently falls back to per-image encode()."""
+    imgs = np.asarray(images)
+    if imgs.ndim != 4 or imgs.shape[-1] != 3:
+        raise ValueError(f"expected (K, H, W, 3) uint8, got {imgs.shape}")
+    if imgs.dtype != np.uint8:
+        imgs = np.clip(imgs, 0, 255).astype(np.uint8)
+    cfg = EncodeConfig(quality=quality, subsampling=subsampling)
+    mode = cfg.subsampling
+
+    def per_image():
+        return [encode(im, quality=quality, subsampling=cfg.subsampling,
+                       comment=comment, quant_tables=quant_tables)
+                for im in imgs]
+
+    if device_pack is None:
+        device_pack = jax.default_backend() != "cpu"
+    if not device_pack:
+        return per_image()
+    h0, w0 = imgs.shape[1:3]
+    batch = tile.pad_to_multiple(
+        jnp.asarray(imgs).transpose(1, 2, 3, 0),
+        mode.mcu_height, mode.mcu_width,
+    ).transpose(3, 0, 1, 2)
+    if quant_tables is not None:
+        qy_np = np.clip(np.asarray(quant_tables[0], np.int32).reshape(8, 8),
+                        1, 255)
+        qc_np = np.clip(np.asarray(quant_tables[1], np.int32).reshape(8, 8),
+                        1, 255)
+    else:
+        qy_np = quant.luma_table(quality)
+        qc_np = quant.chroma_table(quality)
+    htables = huffman.standard_tables()
+    luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(htables))
+    words, totals, ok = _jit_color_packed_batch(mode, 0)(
+        batch, jnp.asarray(qy_np), jnp.asarray(qc_np), *luts
+    )
+    if not bool(np.asarray(ok).all()):
+        return per_image()
+    totals_np = np.asarray(totals)  # (K, 1)
+    maxw = (int(totals_np.max()) + 31) // 32
+    words_host = np.asarray(words[:, :, :maxw])  # one sliced fetch for all K
+    comps = [
+        jfif.ComponentSpec(1, mode.h_factor, mode.v_factor, 0, 0, 0),
+        jfif.ComponentSpec(2, 1, 1, 1, 1, 1),
+        jfif.ComponentSpec(3, 1, 1, 1, 1, 1),
+    ]
+    out = []
+    for k in range(imgs.shape[0]):
+        scan = bitpack.finalize_stream(words_host[k], totals_np[k])
+        out.append(jfif.write_jpeg(
+            w0, h0, comps, {0: qy_np, 1: qc_np}, htables, scan,
+            comment=comment,
+        ))
+    return out
+
+
 def encode_bmp_to_jpeg(input_path: str, output_path: str, quality: int = 75,
                        subsampling="444", **kw) -> None:
     """Drop-in analog of the reference entry point (jpg_encode.h:85)."""

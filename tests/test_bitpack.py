@@ -296,3 +296,17 @@ def test_adaptive_scale_retry_keeps_q95_on_device(tiger):
     a = encode(tiger, quality=95, subsampling="420", device_pack=True)
     b = encode(tiger, quality=95, subsampling="420", device_pack=False)
     assert a == b
+
+
+def test_encode_batched_matches_per_image(tiger):
+    """Public encode_batched == per-image encode() bytes, on both the
+    per-image fallback and the forced batched-program path."""
+    from jpeg_tpu import encode_batched
+
+    imgs = np.stack([tiger, 255 - tiger])
+    want = [encode(im, quality=80, subsampling="420") for im in imgs]
+    outs = encode_batched(imgs, quality=80, subsampling="420")
+    outs_dev = encode_batched(imgs, quality=80, subsampling="420",
+                              device_pack=True)
+    assert outs == want and outs_dev == want
+    assert decode(outs[0]).shape == imgs[0].shape
