@@ -218,17 +218,26 @@ def main(argv=None) -> int:
                 base = os.path.splitext(os.path.basename(p))[0]
                 bmp.write_bmp(os.path.join(args.outdir, base + ".bmp"), img)
         else:
-            imgs = [bmp.read_bmp(p) for p in args.inputs]
-            mpix = sum(i.shape[0] * i.shape[1] / 1e6 for i in imgs)
+            tally = [0.0]
+
+            def read_all():
+                # Generator: RSS stays at ~depth+1 raw frames instead of
+                # materializing the whole batch before the first encode.
+                for p in args.inputs:
+                    img = bmp.read_bmp(p)
+                    tally[0] += img.shape[0] * img.shape[1] / 1e6
+                    yield img
+
             stream = encode_stream(
-                imgs, quality=args.quality, subsampling=args.subsampling,
-                depth=args.depth,
+                read_all(), quality=args.quality,
+                subsampling=args.subsampling, depth=args.depth,
             )
             for p, data in zip(args.inputs, stream):
                 base = os.path.splitext(os.path.basename(p))[0]
                 with open(os.path.join(args.outdir, base + ".jpg"),
                           "wb") as f:
                     f.write(data)
+            mpix = tally[0]
         dt = time.time() - t0
         verb = "decoded" if args.decode else "encoded"
         print(f"{verb} {len(args.inputs)} files ({mpix:.1f} MPix) in "

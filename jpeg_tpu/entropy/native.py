@@ -136,7 +136,10 @@ def finalize_scan(words: np.ndarray, totals: np.ndarray,
         words = words[None]
     totals = np.ascontiguousarray(totals, dtype=np.int64)
     nseg = int(totals.shape[0])
-    cap = int(((int(totals.sum()) + 7) // 8) * 2 + 2 * nseg + 16)
+    # Worst case: every byte stuffed (x2) — rounded up PER SEGMENT (the sum
+    # of ceils exceeds ceil of the sum by up to nseg-1 bytes) — plus one RST
+    # marker between segments.
+    cap = int(2 * int(((totals + 7) // 8).sum()) + 2 * nseg + 16)
     out = np.empty(cap, dtype=np.uint8)
     n = lib.jt_finalize_scan(
         _ptr(words, ctypes.c_uint32), ctypes.c_long(words.shape[1]),

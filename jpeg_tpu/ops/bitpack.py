@@ -302,17 +302,8 @@ def _subword_shift(buf, sbits):
     """Shift each row of a (G, C) uint32 word buffer right by sbits (G, 1)
     bits (0..31), i.e. toward later stream positions within its words:
     out[j] = (buf[j] >> s) | (buf[j-1] << (32-s)). Returns (G, C+1) — the +1
-    lane catches the spill out of the last word. Shifts are clamped/masked
-    because XLA shifts >= bit width are undefined and the unselected
-    jnp.where branch is still evaluated."""
-    g = buf.shape[0]
-    zero = jnp.zeros((g, 1), jnp.uint32)
-    ext = jnp.concatenate([buf, zero], axis=1)
-    prev = jnp.concatenate([zero, buf], axis=1)
-    su = sbits.astype(jnp.uint32)
-    return (ext >> su) | jnp.where(
-        sbits > 0, prev << jnp.clip(32 - sbits, 0, 31).astype(jnp.uint32), 0
-    )
+    lane catches the spill out of the last word. Alias of the n-d form."""
+    return _subword_shift_nd(buf, sbits)
 
 
 def _tree_combine(buf, t):
@@ -473,21 +464,14 @@ def _level2(buf, t, nwords: int, level2: str):
 
 def _level1_mask(bits, nbits, block_words: int):
     """The r2/r3 level-1 formulation: one-hot masked reduce of every field's
-    (hi, lo) word contributions over block_words+1 lanes. Kept for A/B;
-    bit-identical to _level1_tree for in-budget groups."""
+    (hi, lo) word contributions over block_words+1 lanes (the +1 lane
+    catches lo spill of the last word — _emit_channel is the single home of
+    that arithmetic). Kept for A/B; bit-identical to _level1_tree for
+    in-budget groups."""
     nbits = nbits.astype(jnp.int32)
     starts = jnp.cumsum(nbits, axis=1) - nbits
     t_b = starts[:, -1] + nbits[:, -1]
-    hi, lo = _field_split(bits, nbits, starts)
-    w_r = jnp.clip(starts >> 5, 0, block_words - 1)
-    wg = jnp.arange(block_words + 1, dtype=jnp.int32)[None, None, :]
-    buf = jnp.sum(
-        jnp.where(w_r[:, :, None] == wg, hi[:, :, None], jnp.uint32(0))
-        + jnp.where((w_r + 1)[:, :, None] == wg, lo[:, :, None], jnp.uint32(0)),
-        axis=1,
-        dtype=jnp.uint32,
-    )  # (B, block_words+1); the +1 lane catches lo spill of the last word
-    return buf, t_b
+    return _emit_channel(bits, nbits, starts, block_words), t_b
 
 
 def _level1(bits, nbits, block_words: int, level1: str):

@@ -58,15 +58,21 @@ def encode_stream(
         if not device_pack:
             return ("host", img, None)
         out = E._jit_color_packed(mode, 0)(dev, qy, qc, *luts)
-        return ("device", img, (h0, w0, out))
+        return ("device", img, (h0, w0, dev, out))
 
     def finish(item) -> bytes:
         kind, img, payload = item
         if kind == "host":
             return E._encode_color(img, cfg, None, device_pack=False)
-        h0, w0, (words, totals, ok) = payload
+        h0, w0, dev, (words, totals, ok) = payload
         if not bool(np.asarray(ok).all()):
-            return E._encode_color(img, cfg, None, device_pack=False)
+            # Resume the shared overflow retry ladder (block -> block at
+            # scale 2) before abandoning the device — dense q>=95 frames
+            # would otherwise silently host-pack the whole stream.
+            words, totals, ok2 = E.device_pack_retry(
+                dev, qy, qc, luts, mode, 0, skip_tree=True)
+            if not ok2:
+                return E._encode_color(img, cfg, None, device_pack=False)
         t = int(np.asarray(totals)[0])
         w_host = np.asarray(words[:, : (t + 31) // 32])
         scan = bitpack.finalize_stream(w_host, [t])

@@ -310,3 +310,13 @@ def test_encode_batched_matches_per_image(tiger):
                               device_pack=True)
     assert outs == want and outs_dev == want
     assert decode(outs[0]).shape == imgs[0].shape
+
+
+def test_encode_batched_float_input_matches_encode(rng):
+    """Float input follows encode()'s round-then-clip convention (truncation
+    once produced different bytes — r4 review finding)."""
+    from jpeg_tpu import encode_batched
+
+    img = rng.uniform(0, 255, (24, 32, 3))  # non-integral floats
+    out = encode_batched(img[None], quality=80, subsampling="444")[0]
+    assert out == encode(img, quality=80, subsampling="444")

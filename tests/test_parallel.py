@@ -301,3 +301,17 @@ def test_decode_stream_matches_per_image(tiger):
     s2 = list(decode_stream(datas[:2], scale_denom=2))
     for d, got in zip(datas[:2], s2):
         np.testing.assert_array_equal(got, decode(d, scale_denom=2))
+
+
+def test_encode_stream_q95_uses_retry_ladder(tiger):
+    """The streaming finisher resumes the shared overflow retry ladder:
+    q95 frames (which overflow the default tree budget) still come out
+    byte-identical to encode(), via the scale-2 device program rather than
+    a silent full host fallback."""
+    from jpeg_tpu import encode
+    from jpeg_tpu.parallel.pipeline import encode_stream
+
+    outs = list(encode_stream([tiger, 255 - tiger], quality=95,
+                              subsampling="420", device_pack=True))
+    for im, d in zip([tiger, 255 - tiger], outs):
+        assert d == encode(im, quality=95, subsampling="420")
