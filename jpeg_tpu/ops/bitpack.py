@@ -1,11 +1,16 @@
 """Device-side parallel Huffman bit packing (the SURVEY.md §7 step-6 crux).
 
-Entirely data-parallel XLA: every Huffman record (code + amplitude bits)
-becomes a <=32-bit field; an exclusive prefix sum over field lengths gives bit
-offsets; fields are OR-scattered (adds on disjoint bit ranges) into a uint32
-word array with monotonic indices. Only the compressed words leave the chip —
-on a bandwidth-constrained host link this shrinks the download from ~50 MB of
-coefficients to the ~0.5 MB scan itself.
+Entirely data-parallel XLA, with NO scatter and NO data-dependent gather
+anywhere (the op classes the v5e serializes): every Huffman record (code +
+amplitude bits) becomes a <=32-bit field; per-channel prefix sums give
+in-block bit offsets; channels emit into per-block word buffers by a masked
+lane reduce (level 1, `_level1_channels`); block buffers shift-combine into
+per-MCU buffers (level 1.5); and the stream assembles by a log-depth
+pairwise shift-OR concatenation tree (level 2, `concat_bitstreams_tree` —
+round 4's replacement for the sorted segment-sum scatter). Only the
+compressed words leave the chip — on a bandwidth-constrained host link this
+shrinks the download from ~50 MB of coefficients to the ~0.5 MB scan
+itself.
 
 All arithmetic is 32-bit (x64 stays disabled). Record channels per block:
 
