@@ -201,13 +201,28 @@ def main(argv=None) -> int:
         os.makedirs(args.outdir, exist_ok=True)
         t0 = time.time()
         mpix = 0.0
-        if args.decode:
-            datas = []
+
+        def out_names(ext):
+            # Disambiguate colliding basenames (a/x.bmp + b/x.bmp) instead
+            # of silently overwriting one output with the other.
+            seen: dict = {}
+            names = []
             for p in args.inputs:
-                with open(p, "rb") as f:
-                    datas.append(f.read())
-            for p, img in zip(args.inputs, decode_stream(datas,
-                                                         depth=args.depth)):
+                base = os.path.splitext(os.path.basename(p))[0]
+                n = seen.get(base, 0)
+                seen[base] = n + 1
+                names.append((base if n == 0 else f"{base}_{n}") + ext)
+            return names
+
+        if args.decode:
+            def read_jpegs():
+                for p in args.inputs:
+                    with open(p, "rb") as f:
+                        yield f.read()
+
+            outs = out_names(".bmp")
+            for name, img in zip(outs, decode_stream(read_jpegs(),
+                                                     depth=args.depth)):
                 if img.ndim == 2:
                     img = np.repeat(img[:, :, None], 3, axis=2)
                 elif img.shape[-1] == 4:
@@ -215,8 +230,7 @@ def main(argv=None) -> int:
 
                     img = _color.cmyk_to_rgb(img)
                 mpix += img.shape[0] * img.shape[1] / 1e6
-                base = os.path.splitext(os.path.basename(p))[0]
-                bmp.write_bmp(os.path.join(args.outdir, base + ".bmp"), img)
+                bmp.write_bmp(os.path.join(args.outdir, name), img)
         else:
             tally = [0.0]
 
@@ -232,10 +246,8 @@ def main(argv=None) -> int:
                 read_all(), quality=args.quality,
                 subsampling=args.subsampling, depth=args.depth,
             )
-            for p, data in zip(args.inputs, stream):
-                base = os.path.splitext(os.path.basename(p))[0]
-                with open(os.path.join(args.outdir, base + ".jpg"),
-                          "wb") as f:
+            for name, data in zip(out_names(".jpg"), stream):
+                with open(os.path.join(args.outdir, name), "wb") as f:
                     f.write(data)
             mpix = tally[0]
         dt = time.time() - t0

@@ -371,6 +371,34 @@ def _jit_gray_hists(restart_mcus: int):
 # ---------------------------------------------------------------------------
 
 
+def _normalize_image(image: np.ndarray) -> np.ndarray:
+    """encode()'s input convention, shared by every entry point: floats are
+    rounded then clipped; other dtypes clip to uint8."""
+    image = np.asarray(image)
+    if np.issubdtype(image.dtype, np.floating):
+        return np.clip(np.round(image), 0, 255).astype(np.uint8)
+    if image.dtype != np.uint8:
+        return np.clip(image, 0, 255).astype(np.uint8)
+    return image
+
+
+def _normalize_quant_tables(quant_tables):
+    if quant_tables is None:
+        return None
+    qt_y = np.clip(np.asarray(quant_tables[0], np.int32).reshape(8, 8), 1, 255)
+    qt_c = np.clip(np.asarray(quant_tables[1], np.int32).reshape(8, 8), 1, 255)
+    return (qt_y, qt_c)
+
+
+def _color_components(mode: Subsampling):
+    """The 3-component SOF spec every color writer shares."""
+    return [
+        jfif.ComponentSpec(1, mode.h_factor, mode.v_factor, 0, 0, 0),
+        jfif.ComponentSpec(2, 1, 1, 1, 1, 1),
+        jfif.ComponentSpec(3, 1, 1, 1, 1, 1),
+    ]
+
+
 def device_pack_retry(img, qy, qc, luts, mode: Subsampling, r: int,
                       use_pallas_pack: bool = False, skip_tree: bool = False):
     """The device packed program with the overflow retry ladder — tree ->
@@ -380,6 +408,8 @@ def device_pack_retry(img, qy, qc, luts, mode: Subsampling, r: int,
     Returns (words, totals, ok); ok=False after the ladder means the caller
     must host-pack. skip_tree resumes the ladder when the caller already
     ran the tree program itself."""
+    if skip_tree and use_pallas_pack:
+        raise ValueError("skip_tree with use_pallas_pack would run no ladder")
     ok = False
     words = totals = None
     if not skip_tree:
@@ -437,15 +467,8 @@ def encode(
             image = bmp.read_bmp(image)
         else:
             image = bmp.decode_bmp(image)
-    image = np.asarray(image)
-    if np.issubdtype(image.dtype, np.floating):
-        image = np.clip(np.round(image), 0, 255).astype(np.uint8)
-    elif image.dtype != np.uint8:
-        image = np.clip(image, 0, 255).astype(np.uint8)
-    if quant_tables is not None:
-        qt_y = np.clip(np.asarray(quant_tables[0], np.int32).reshape(8, 8), 1, 255)
-        qt_c = np.clip(np.asarray(quant_tables[1], np.int32).reshape(8, 8), 1, 255)
-        quant_tables = (qt_y, qt_c)
+    image = _normalize_image(image)
+    quant_tables = _normalize_quant_tables(quant_tables)
     if image.ndim == 2:
         return _encode_gray(image, cfg, comment, quant_tables, device_pack)
     if image.ndim == 3 and image.shape[2] == 3:
@@ -476,10 +499,9 @@ def encode_batched(
     imgs = np.asarray(images)
     if imgs.ndim != 4 or imgs.shape[-1] != 3:
         raise ValueError(f"expected (K, H, W, 3) uint8, got {imgs.shape}")
-    if np.issubdtype(imgs.dtype, np.floating):
-        imgs = np.clip(np.round(imgs), 0, 255).astype(np.uint8)  # as encode()
-    elif imgs.dtype != np.uint8:
-        imgs = np.clip(imgs, 0, 255).astype(np.uint8)
+    if imgs.shape[0] == 0:
+        return []
+    imgs = _normalize_image(imgs)
     cfg = EncodeConfig(quality=quality, subsampling=subsampling)
     mode = cfg.subsampling
 
@@ -493,15 +515,13 @@ def encode_batched(
     if not device_pack:
         return per_image()
     h0, w0 = imgs.shape[1:3]
-    batch = tile.pad_to_multiple(
-        jnp.asarray(imgs).transpose(1, 2, 3, 0),
-        mode.mcu_height, mode.mcu_width,
-    ).transpose(3, 0, 1, 2)
-    if quant_tables is not None:
-        qy_np = np.clip(np.asarray(quant_tables[0], np.int32).reshape(8, 8),
-                        1, 255)
-        qc_np = np.clip(np.asarray(quant_tables[1], np.int32).reshape(8, 8),
-                        1, 255)
+    ph = -h0 % mode.mcu_height
+    pw = -w0 % mode.mcu_width
+    batch = jnp.pad(jnp.asarray(imgs), ((0, 0), (0, ph), (0, pw), (0, 0)),
+                    mode="edge")
+    qt = _normalize_quant_tables(quant_tables)
+    if qt is not None:
+        qy_np, qc_np = qt
     else:
         qy_np = quant.luma_table(quality)
         qc_np = quant.chroma_table(quality)
@@ -515,11 +535,7 @@ def encode_batched(
     totals_np = np.asarray(totals)  # (K, 1)
     maxw = (int(totals_np.max()) + 31) // 32
     words_host = np.asarray(words[:, :, :maxw])  # one sliced fetch for all K
-    comps = [
-        jfif.ComponentSpec(1, mode.h_factor, mode.v_factor, 0, 0, 0),
-        jfif.ComponentSpec(2, 1, 1, 1, 1, 1),
-        jfif.ComponentSpec(3, 1, 1, 1, 1, 1),
-    ]
+    comps = _color_components(mode)
     out = []
     for k in range(imgs.shape[0]):
         scan = bitpack.finalize_stream(words_host[k], totals_np[k])
@@ -645,11 +661,7 @@ def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
         scan = None
 
     if scan is not None:
-        comps = [
-            jfif.ComponentSpec(1, mode.h_factor, mode.v_factor, 0, 0, 0),
-            jfif.ComponentSpec(2, 1, 1, 1, 1, 1),
-            jfif.ComponentSpec(3, 1, 1, 1, 1, 1),
-        ]
+        comps = _color_components(mode)
         return jfif.write_jpeg(
             w0, h0, comps, {0: qy_np, 1: qc_np},
             htables, scan, restart_interval=r, comment=comment,
@@ -681,11 +693,7 @@ def _encode_color(image: np.ndarray, cfg: EncodeConfig, comment,
     blocks, tbl = interleave_mcus(y_scan, cb_scan, cr_scan, hv)
     scan, htables = _pack_scan(blocks, tbl, cfg, bpm)
 
-    comps = [
-        jfif.ComponentSpec(1, hf, vf, 0, 0, 0),
-        jfif.ComponentSpec(2, 1, 1, 1, 1, 1),
-        jfif.ComponentSpec(3, 1, 1, 1, 1, 1),
-    ]
+    comps = _color_components(mode)
     return jfif.write_jpeg(
         w0, h0, comps, {0: qy_np, 1: qc_np},
         htables, scan, restart_interval=r, comment=comment,

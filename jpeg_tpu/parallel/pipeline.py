@@ -48,7 +48,7 @@ def encode_stream(
     qc_np = quant.chroma_table(cfg.quality)
 
     def dispatch(img: np.ndarray):
-        img = np.asarray(img)
+        img = E._normalize_image(img)  # encode()'s float/dtype convention
         if img.ndim != 3 or img.shape[2] != 3:
             raise ValueError(f"expected (H, W, 3), got {img.shape}")
         h0, w0 = img.shape[:2]
@@ -76,11 +76,7 @@ def encode_stream(
         t = int(np.asarray(totals)[0])
         w_host = np.asarray(words[:, : (t + 31) // 32])
         scan = bitpack.finalize_stream(w_host, [t])
-        comps = [
-            jfif.ComponentSpec(1, mode.h_factor, mode.v_factor, 0, 0, 0),
-            jfif.ComponentSpec(2, 1, 1, 1, 1, 1),
-            jfif.ComponentSpec(3, 1, 1, 1, 1, 1),
-        ]
+        comps = E._color_components(mode)
         return jfif.write_jpeg(
             w0, h0, comps, {0: qy_np, 1: qc_np}, htables, scan
         )

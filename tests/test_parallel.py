@@ -303,15 +303,23 @@ def test_decode_stream_matches_per_image(tiger):
         np.testing.assert_array_equal(got, decode(d, scale_denom=2))
 
 
-def test_encode_stream_q95_uses_retry_ladder(tiger):
+def test_encode_stream_q95_uses_retry_ladder(tiger, monkeypatch):
     """The streaming finisher resumes the shared overflow retry ladder:
-    q95 frames (which overflow the default tree budget) still come out
-    byte-identical to encode(), via the scale-2 device program rather than
-    a silent full host fallback."""
+    q95 frames (which overflow the default tree budget) come out via the
+    scale-2 device program, NOT the host fallback (host bytes are identical
+    by design, so the test spies on _encode_color to prove the device path
+    actually ran — r4 review finding)."""
     from jpeg_tpu import encode
+    from jpeg_tpu.models import encoder as E
     from jpeg_tpu.parallel.pipeline import encode_stream
 
+    want = [encode(im, quality=95, subsampling="420")
+            for im in (tiger, 255 - tiger)]
+    calls = []
+    orig = E._encode_color
+    monkeypatch.setattr(E, "_encode_color",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
     outs = list(encode_stream([tiger, 255 - tiger], quality=95,
                               subsampling="420", device_pack=True))
-    for im, d in zip([tiger, 255 - tiger], outs):
-        assert d == encode(im, quality=95, subsampling="420")
+    assert outs == want
+    assert not calls, "finisher fell back to host instead of the ladder"
