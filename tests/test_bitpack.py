@@ -312,6 +312,18 @@ def test_encode_batched_matches_per_image(tiger):
     assert decode(outs[0]).shape == imgs[0].shape
 
 
+def test_encode_batched_odd_size_matches_encode(rng):
+    """Non-MCU-aligned (H, W): the batched edge-pad must match encode()'s
+    pad on both the fallback and the forced batched path."""
+    from jpeg_tpu import encode_batched
+
+    imgs = rng.integers(0, 255, (2, 37, 53, 3)).astype(np.uint8)
+    want = [encode(im, quality=80, subsampling="420") for im in imgs]
+    assert encode_batched(imgs, quality=80, subsampling="420") == want
+    assert encode_batched(imgs, quality=80, subsampling="420",
+                          device_pack=True) == want
+
+
 def test_encode_batched_float_input_matches_encode(rng):
     """Float input follows encode()'s round-then-clip convention (truncation
     once produced different bytes — r4 review finding)."""
