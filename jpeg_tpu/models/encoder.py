@@ -483,6 +483,7 @@ def encode_batched(
     images,
     quality: int = 75,
     subsampling="420",
+    restart_interval: int = 0,
     comment: str | None = None,
     quant_tables=None,
     device_pack: bool | None = None,
@@ -507,16 +508,19 @@ def encode_batched(
 
     def per_image():
         return [encode(im, quality=quality, subsampling=cfg.subsampling,
-                       comment=comment, quant_tables=quant_tables)
+                       restart_interval=restart_interval, comment=comment,
+                       quant_tables=quant_tables)
                 for im in imgs]
 
     if device_pack is None:
         device_pack = jax.default_backend() != "cpu"
-    if not device_pack:
-        return per_image()
+    r = int(restart_interval)
     h0, w0 = imgs.shape[1:3]
     ph = -h0 % mode.mcu_height
     pw = -w0 % mode.mcu_width
+    n_mcu = ((h0 + ph) // mode.mcu_height) * ((w0 + pw) // mode.mcu_width)
+    if not device_pack or (r != 0 and n_mcu % r != 0):
+        return per_image()  # unaligned restart: same fallback as encode()
     batch = jnp.pad(jnp.asarray(imgs), ((0, 0), (0, ph), (0, pw), (0, 0)),
                     mode="edge")
     qt = _normalize_quant_tables(quant_tables)
@@ -527,7 +531,7 @@ def encode_batched(
         qc_np = quant.chroma_table(quality)
     htables = huffman.standard_tables()
     luts = tuple(jnp.asarray(a) for a in bitpack.luts_from_tables(htables))
-    words, totals, ok = _jit_color_packed_batch(mode, 0)(
+    words, totals, ok = _jit_color_packed_batch(mode, r)(
         batch, jnp.asarray(qy_np), jnp.asarray(qc_np), *luts
     )
     if not bool(np.asarray(ok).all()):
@@ -541,7 +545,7 @@ def encode_batched(
         scan = bitpack.finalize_stream(words_host[k], totals_np[k])
         out.append(jfif.write_jpeg(
             w0, h0, comps, {0: qy_np, 1: qc_np}, htables, scan,
-            comment=comment,
+            restart_interval=r, comment=comment,
         ))
     return out
 

@@ -312,6 +312,19 @@ def test_encode_batched_matches_per_image(tiger):
     assert decode(outs[0]).shape == imgs[0].shape
 
 
+def test_encode_batched_restart_matches_encode(rng):
+    """restart_interval flows through the batched program (aligned) and the
+    per-image fallback (unaligned)."""
+    from jpeg_tpu import encode_batched
+
+    imgs = rng.integers(0, 255, (2, 48, 64, 3)).astype(np.uint8)
+    for r in (3, 7):  # 3 divides the 12-MCU frame; 7 does not (fallback)
+        want = [encode(im, quality=80, subsampling="420", restart_interval=r)
+                for im in imgs]
+        assert encode_batched(imgs, quality=80, subsampling="420",
+                              restart_interval=r, device_pack=True) == want
+
+
 def test_encode_batched_odd_size_matches_encode(rng):
     """Non-MCU-aligned (H, W): the batched edge-pad must match encode()'s
     pad on both the fallback and the forced batched path."""
