@@ -323,3 +323,18 @@ def test_encode_stream_q95_uses_retry_ladder(tiger, monkeypatch):
                               subsampling="420", device_pack=True))
     assert outs == want
     assert not calls, "finisher fell back to host instead of the ladder"
+
+
+def test_decode_stream_propagates_errors(tiger):
+    """A corrupt stream mid-batch raises at its yield position (futures
+    resolve in input order), after earlier results were already yielded."""
+    from jpeg_tpu import encode
+    from jpeg_tpu.io import jfif
+    from jpeg_tpu.parallel.pipeline import decode_stream
+
+    good = encode(tiger, quality=75, subsampling="420")
+    it = decode_stream([good, b"not a jpeg", good], depth=1)
+    first = next(it)
+    assert first.shape == tiger.shape
+    with pytest.raises(jfif.JpegFormatError):
+        list(it)
