@@ -507,9 +507,13 @@ def encode_batched(
     mode = cfg.subsampling
 
     def per_image():
+        # Forward device_pack so an explicit device_pack=False batch stays a
+        # host-pack batch in the fallback (ADVICE r4: the flag's perf/intent
+        # semantics must survive the per-image path; bytes never depended on
+        # it).
         return [encode(im, quality=quality, subsampling=cfg.subsampling,
                        restart_interval=restart_interval, comment=comment,
-                       quant_tables=quant_tables)
+                       device_pack=device_pack, quant_tables=quant_tables)
                 for im in imgs]
 
     if device_pack is None:
