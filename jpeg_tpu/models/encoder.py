@@ -227,14 +227,14 @@ def _transform_color_packed(
             nwords = nblocks * wpb + 2
             words, total, ok = bitpack.pack_blocks_tree(
                 blocks, tbl, dc_code, dc_len, ac_code, ac_len,
-                nwords, bpm, blk_w, mcu_w)
+                nwords, bpm, blk_w, mcu_w, split_hv=hv)
             return words[None], total[None], ok[None]
         nseg = n_mcu // r
         nwords = r * bpm * wpb + 2
         return jax.vmap(
             lambda b, t: bitpack.pack_blocks_tree(
                 b, t, dc_code, dc_len, ac_code, ac_len, nwords, bpm,
-                blk_w, mcu_w)
+                blk_w, mcu_w, split_hv=hv)
         )(blocks.reshape(nseg, -1, 64), tbl.reshape(nseg, -1))
     bits, nbits = bitpack.build_bitfields(
         blocks, tbl, dc_code, dc_len, ac_code, ac_len
@@ -327,18 +327,26 @@ def _transform_gray_packed(plane, qy, dc_code, dc_len, ac_code, ac_len, *,
     r = int(restart_mcus)
     zz = zz.at[:, 0].set(dpcm_ops.dpcm(zz[:, 0], r))
     tbl = jnp.zeros(zz.shape[0], jnp.int32)
-    bits, nbits = bitpack.build_bitfields(zz, tbl, dc_code, dc_len, ac_code, ac_len)
     nblocks = zz.shape[0]
+    # Fixed-id channel-wise level 1 (all blocks are luma): same 288-bit
+    # per-block budget as the record-stream pack_bits this replaces, with
+    # mcu_words matched so the per-"MCU" (= per-block at bpm=1) budget is
+    # unchanged — bytes identical, none of the (B, 191) record
+    # materializations.
     if r == 0 or r >= nblocks:
         nwords = nblocks * WORDS_PER_BLOCK + 2
-        words, total, ok = bitpack.pack_bits(bits, nbits, nwords)
+        words, total, ok = bitpack.pack_blocks_tree(
+            zz, tbl, dc_code, dc_len, ac_code, ac_len, nwords, 1,
+            mcu_words=bitpack.BLOCK_WORDS, fixed_tid=0)
         return words[None], total[None], ok[None]
     nseg = -(-nblocks // r)
     # caller guarantees nblocks % r == 0 for the device path
     nwords = r * WORDS_PER_BLOCK + 2
-    bits = bits.reshape(nseg, r, 191)
-    nbits = nbits.reshape(nseg, r, 191)
-    return jax.vmap(lambda b, n: bitpack.pack_bits(b, n, nwords))(bits, nbits)
+    return jax.vmap(
+        lambda b, t: bitpack.pack_blocks_tree(
+            b, t, dc_code, dc_len, ac_code, ac_len, nwords, 1,
+            mcu_words=bitpack.BLOCK_WORDS, fixed_tid=0)
+    )(zz.reshape(nseg, r, 64), tbl.reshape(nseg, r))
 
 
 @functools.cache

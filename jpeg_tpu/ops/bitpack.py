@@ -265,8 +265,17 @@ def _level1_channels(blocks, tbl, dc_code, dc_len, ac_code, ac_len,
     ebits = jnp.where(eob, jnp.where(e1, ac_code[1, 0], ac_code[0, 0]), 0)
     enbits = jnp.where(eob, jnp.where(e1, ac_len[1, 0], ac_len[0, 0]), 0)
 
-    # Channel start offsets from ONE cumsum over per-position totals
-    # (emission order per position: b0 -> b1 -> code; then EOB).
+    return _emit_record_channels(dbits, dnbits, b0, n0, b1, n1, cbits, cn,
+                                 ebits, enbits, block_words)
+
+
+def _emit_record_channels(dbits, dnbits, b0, n0, b1, n1, cbits, cn,
+                          ebits, enbits, block_words: int):
+    """Shared channel-wise emission: per-channel start offsets from ONE
+    cumsum over per-position totals (emission order per position:
+    b0 -> b1 -> code; then EOB), then the masked-reduce emission per
+    channel. Returns ((B, block_words+1) uint32 buffers, (B,) totals)."""
+    nb = dbits.shape[0]
     t_slot = n0 + n1 + cn
     p_incl = jnp.cumsum(t_slot, axis=1)
     s0 = dnbits[:, None] + (p_incl - t_slot)
@@ -283,6 +292,130 @@ def _level1_channels(blocks, tbl, dc_code, dc_len, ac_code, ac_len,
         + _emit_channel(cbits, cn, s2, block_words)
         + _emit_channel(ebits[:, None], enbits[:, None], se, block_words)
     )
+    return buf, t_b
+
+
+def _level1_channels_fixed(blocks, tid: int, dc_code, dc_len, ac_code,
+                           ac_len, block_words: int = BLOCK_WORDS,
+                           lookup: str = "bf16"):
+    """Channel-wise level 1 for blocks that ALL share one STATIC Huffman
+    table id (the encoder's MCU interleave is a static [0]*hv + [1, 1]
+    pattern per MCU, so Y and C split into contiguous fixed-id arrays —
+    see _level1_channels_split). Versus the mixed-id `_level1_channels`:
+
+      * the AC stage-1 one-hot narrows 32 -> 16 (run only — the table id is
+        compile-time), halving the dominant one-hot LHS traffic;
+      * the size-select (stage 2) folds into each byte-plane dot's consumer
+        as an f32 weighted reduce, so the (B, 63, 16) int32 candidate
+        tensor and its 3-plane combine never materialize — only the
+        (B, 63) selected planes do;
+      * ZRL/EOB codes become scalars (no (B, 63) table-id selects).
+
+    lookup: "bf16" (default — 8-bit planes in bf16 one-hot dots, exact by
+    the 0/1 x <=255 f32-accumulation argument) or "int8" (7-bit planes in
+    s8 x s8 -> s32 MXU dots; exact trivially, half the LHS bytes again) —
+    both probed on hardware, see DESIGN §6 round 5.
+
+    Byte-identical to _level1_channels with tbl filled with `tid`."""
+    from jpeg_tpu.ops import symbols
+
+    blocks = blocks.astype(jnp.int32)
+
+    # Plane parameters: n_planes x plane_bits must cover the 21-bit packed
+    # code*32+len values.
+    if lookup == "bf16":
+        oh_dtype, pbits, shifts = jnp.bfloat16, 8, (16, 8, 0)
+    elif lookup == "int8":
+        oh_dtype, pbits, shifts = jnp.int8, 7, (14, 7, 0)
+    else:
+        raise ValueError(f"unknown lookup variant: {lookup!r}")
+    pmask = (1 << pbits) - 1
+
+    # DC: 16 packed values selected by size — a one-hot weighted sum
+    # (elementwise int32, (B, 16) fuses away; no MXU needed at B x 16).
+    dc = blocks[:, 0]
+    dsize = symbols.bit_size(dc)
+    dc_t = (dc_code[tid, :16].astype(jnp.int32) * 32
+            + dc_len[tid, :16].astype(jnp.int32))  # (16,)
+    dcp = jnp.sum(
+        jax.nn.one_hot(dsize, 16, dtype=jnp.int32) * dc_t[None, :], axis=-1
+    )
+    dcode = jax.lax.shift_right_logical(dcp, 5).astype(jnp.uint32)
+    dlen = dcp & 31
+    dbits = (dcode << dsize.astype(jnp.uint32)) | _amp_bits(dc, dsize)
+    dnbits = dlen + dsize
+
+    # AC: 16-wide one-hot over run; per-plane dots with the size-select
+    # fused into each dot's consumer.
+    nz, run, last_nz = symbols.ac_run_lengths(blocks)
+    nz = nz[:, 1:]
+    run = jnp.where(nz, run[:, 1:], 0)
+    v = blocks[:, 1:]
+    size = jnp.where(nz, symbols.bit_size(v), 0)
+    ac_t = (ac_code[tid].astype(jnp.int32) * 32
+            + ac_len[tid].astype(jnp.int32)).reshape(16, 16)  # [run, size]
+    oh = jax.nn.one_hot(run & 15, 16, dtype=oh_dtype)         # (B, 63, 16)
+    oh_sz = jax.nn.one_hot(size, 16, dtype=jnp.float32)
+    sel = None
+    for shift in shifts:
+        plane = ((ac_t >> shift) & pmask).astype(oh_dtype)    # (16, 16)
+        p = jax.lax.dot_general(
+            oh, plane, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32 if lookup == "bf16"
+            else jnp.int32,
+        )
+        pp = jnp.sum(p.astype(jnp.float32) * oh_sz, axis=-1).astype(jnp.int32)
+        sel = pp if sel is None else (sel << pbits) + pp
+    code = jax.lax.shift_right_logical(sel, 5).astype(jnp.uint32)
+    aclen = sel & 31
+    clen = jnp.where(nz, aclen, 0)
+    cbits = jnp.where(
+        nz, (code << size.astype(jnp.uint32)) | _amp_bits(v, size), 0
+    )
+    cn = clen + size
+
+    # ZRL / EOB: scalars (the table id is static).
+    zc = ac_code[tid, 0xF0]
+    zl = ac_len[tid, 0xF0]
+    kz = jnp.where(nz, run >> 4, 0)
+    pair = (zc << zl.astype(jnp.uint32)) | zc
+    n0 = jnp.minimum(kz, 2) * zl
+    b0 = jnp.where(kz >= 2, pair, jnp.where(kz == 1, zc, jnp.uint32(0)))
+    n1 = jnp.maximum(kz - 2, 0) * zl
+    b1 = jnp.where(kz >= 3, zc, jnp.uint32(0))
+    eob = last_nz < 63
+    ebits = jnp.where(eob, ac_code[tid, 0], jnp.uint32(0))
+    enbits = jnp.where(eob, ac_len[tid, 0], 0)
+
+    return _emit_record_channels(dbits, dnbits, b0, n0, b1, n1, cbits, cn,
+                                 ebits, enbits, block_words)
+
+
+def _level1_channels_split(blocks, hv: int, dc_code, dc_len, ac_code,
+                           ac_len, block_words: int = BLOCK_WORDS,
+                           lookup: str = "bf16"):
+    """Level 1 for MCU-interleaved blocks with the encoder's STATIC
+    [luma]*hv + [chroma]*2 per-MCU table pattern: slice Y and C into
+    contiguous arrays (static slices — no gather), run the fixed-id level 1
+    on each at half the one-hot width, and re-interleave the (B, bw+1)
+    word buffers (cheap: ~2% of level-1 traffic). Byte-identical to
+    _level1_channels with the equivalent tbl array."""
+    bpm = hv + 2
+    nm = blocks.shape[0] // bpm
+    bm = blocks.reshape(nm, bpm, 64)
+    yb = bm[:, :hv].reshape(nm * hv, 64)
+    cb = bm[:, hv:].reshape(nm * 2, 64)
+    ybuf, yt = _level1_channels_fixed(
+        yb, 0, dc_code, dc_len, ac_code, ac_len, block_words, lookup)
+    cbuf, ct = _level1_channels_fixed(
+        cb, 1, dc_code, dc_len, ac_code, ac_len, block_words, lookup)
+    w = ybuf.shape[1]
+    buf = jnp.concatenate(
+        [ybuf.reshape(nm, hv, w), cbuf.reshape(nm, 2, w)], axis=1
+    ).reshape(nm * bpm, w)
+    t_b = jnp.concatenate(
+        [yt.reshape(nm, hv), ct.reshape(nm, 2)], axis=1
+    ).reshape(nm * bpm)
     return buf, t_b
 
 
@@ -593,16 +726,35 @@ def _combine_to_mcu(buf, t_b, bpm: int, block_words: int, mcu_words: int):
 def pack_blocks_tree(blocks, tbl, dc_code, dc_len, ac_code, ac_len,
                      nwords: int, bpm: int,
                      block_words: int = BLOCK_WORDS,
-                     mcu_words: int | None = None):
+                     mcu_words: int | None = None,
+                     split_hv: int | None = None,
+                     fixed_tid: int | None = None,
+                     lookup: str = "bf16"):
     """Fused device pack straight from coefficient blocks: channel-wise
     level 1 (_level1_channels — no materialized 191-field record stream),
     block->MCU shift-combine, log-depth level-2 tree. Byte-identical to
     build_bitfields + pack_bits_tree; the round-4 default for the encoder's
-    "tree" group."""
+    "tree" group.
+
+    split_hv: when the caller's tbl follows the encoder's static
+    [0]*hv + [1, 1] per-MCU pattern, pass hv to run the split fixed-id
+    level 1 (_level1_channels_split — 16-wide one-hot, fused size-select;
+    the round-5 default). fixed_tid: all blocks share one table id (the
+    grayscale encode path). tbl is ignored on both fast paths (the static
+    pattern IS the table-id array)."""
     if mcu_words is None:
         mcu_words = bpm * 4
-    buf, t_b = _level1_channels(
-        blocks, tbl, dc_code, dc_len, ac_code, ac_len, block_words)
+    if split_hv is not None:
+        buf, t_b = _level1_channels_split(
+            blocks, split_hv, dc_code, dc_len, ac_code, ac_len,
+            block_words, lookup)
+    elif fixed_tid is not None:
+        buf, t_b = _level1_channels_fixed(
+            blocks, fixed_tid, dc_code, dc_len, ac_code, ac_len,
+            block_words, lookup)
+    else:
+        buf, t_b = _level1_channels(
+            blocks, tbl, dc_code, dc_len, ac_code, ac_len, block_words)
     mcu_buf, t_m = _combine_to_mcu(buf, t_b, bpm, block_words, mcu_words)
     words, total = _level2(mcu_buf, t_m, nwords, "tree_or")
     ok = (

@@ -199,6 +199,141 @@ def cmd_encode():
     print(f"q95 scale-2 packed program: {t95*1e3:.1f} ms (ok={ok95})")
 
 
+def cmd_pack5():
+    """Round-5 A/B: level-1 field-build variants inside the full packed
+    program — mixed-id (r4 default) vs static Y/C split 16-wide (bf16
+    planes) vs split int8 planes. All three must report identical totals
+    (bit-identity is pinned on CPU by tests/test_bitpack_split.py)."""
+    import jax
+    from jpeg_tpu.models import encoder as E
+    from jpeg_tpu.ops import bitpack
+
+    img, dev, qy, qc, luts, mode = _setup_4k()
+
+    def program(variant):
+        def f(rgb, qy, qc, *l):
+            bl, tb, n_mcu, hv = E._interleaved_blocks(rgb, qy, qc, mode, 0)
+            bpm = hv + 2
+            nwords = n_mcu * bpm * E.WORDS_PER_BLOCK + 2
+            kw = {}
+            if variant == "split":
+                kw = dict(split_hv=hv)
+            elif variant == "int8":
+                kw = dict(split_hv=hv, lookup="int8")
+            return bitpack.pack_blocks_tree(bl, tb, *l, nwords, bpm, **kw)
+        return jax.jit(f)
+
+    totals = {}
+    for variant in ("mixed", "split", "int8"):
+        j = program(variant)
+        t = _pipe(lambda: j(dev, qy, qc, *luts))
+        w, tot, ok = j(dev, qy, qc, *luts)
+        totals[variant] = int(np.asarray(tot))
+        print(f"packed program (level1={variant}): {t*1e3:.1f} ms "
+              f"(ok={bool(np.asarray(ok))}, total_bits={totals[variant]})")
+    assert len(set(totals.values())) == 1, f"variant totals differ: {totals}"
+
+
+def _setup_decode_4k():
+    """Parse a 4K q75 420 stream the way decoder.decode's sparse path does,
+    returning everything the stage programs need."""
+    import jax.numpy as jnp
+    from bench import make_image
+    from jpeg_tpu import encode
+    from jpeg_tpu.entropy import decode_device
+    from jpeg_tpu.io import jfif
+    from jpeg_tpu.models import layout
+
+    img = make_image(2160, 3840)
+    jpg = encode(img, quality=75, subsampling="420")
+    info = jfif.parse_jpeg(jpg)
+    comps = info.components
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcu_rows = layout.ceil_div(info.height, 8 * vmax)
+    mcu_cols = layout.ceil_div(info.width, 8 * hmax)
+    n_mcu = mcu_rows * mcu_cols
+    mcu_layout = [(i, c.h * c.v, c.dc_id, c.ac_id) for i, c in enumerate(comps)]
+    payload, B, Sp, Ep, Edp = decode_device.sparse_payload(
+        info.scan_data, n_mcu, mcu_layout, info.htables,
+        info.restart_interval)
+    ranges, geo, base = [], [], 0
+    for c in comps:
+        bpm = c.h * c.v
+        ranges.append((base, base + bpm * n_mcu))
+        geo.append((mcu_rows, mcu_cols, c.v, c.h) if bpm > 1 else None)
+        base += bpm * n_mcu
+    shapes = tuple((mcu_rows * c.v, mcu_cols * c.h) for c in comps)
+    factors = tuple((hmax // c.h, vmax // c.v) for c in comps)
+    qtabs = [jnp.asarray(info.qtables[c.qtab_id]) for c in comps]
+    return (jpg, payload, B, Sp, Ep, Edp, tuple(ranges), tuple(geo),
+            shapes, factors, qtabs)
+
+
+def cmd_decode_stages():
+    """Stage attribution for the 15.9 ms fused sparse decode program
+    (VERDICT r4 item 2): cumulative sub-programs — densify | +reorder |
+    +dequant/IDCT planes | full finish — each returning a scalar so the
+    output transfer never skews a stage. Stage cost = adjacent diff (each
+    sub-program is its own XLA fusion world, so diffs are indicative, not
+    exact)."""
+    import jax
+    import jax.numpy as jnp
+    from jpeg_tpu import tables
+    from jpeg_tpu.entropy import decode_device
+    from jpeg_tpu.models import layout
+    from jpeg_tpu.ops import dct, tile
+
+    (jpg, payload, B, Sp, Ep, Edp, ranges, geo, shapes, factors,
+     qtabs) = _setup_decode_4k()
+    pay = jax.device_put(jnp.asarray(payload))
+
+    def p_densify(payload):
+        rows = decode_device.densify_body(payload, B, Sp, Ep, Edp)
+        return rows.sum()
+
+    def p_reorder(payload):
+        rows = decode_device.densify_body(payload, B, Sp, Ep, Edp)
+        acc = jnp.int32(0)
+        for (lo, hi), g in zip(ranges, geo):
+            s = rows[lo:hi]
+            if g is not None:
+                s = layout.scan_to_raster(s, *g)
+            acc += s.sum()
+        return acc
+
+    def p_idct(payload, *qt):
+        rows = decode_device.densify_body(payload, B, Sp, Ep, Edp)
+        acc = jnp.float32(0)
+        for (lo, hi), g, q, (hb, wb) in zip(ranges, geo, qt, shapes):
+            s = rows[lo:hi]
+            if g is not None:
+                s = layout.scan_to_raster(s, *g)
+            qz = q.reshape(64)[jnp.asarray(tables.ZIGZAG_ORDER)].astype(
+                jnp.float32)
+            flat = dct.idct_zigzag_blocks(
+                s.reshape(-1, 64).astype(jnp.float32) * qz)
+            plane = tile.plane_from_scan_blocks(flat, hb, wb) + 128.0
+            acc += jnp.clip(jnp.round(plane), 0.0, 255.0).sum()
+        return acc
+
+    names = ("densify", "+reorder", "+idct+round")
+    progs = (p_densify, p_reorder, p_idct)
+    prev = 0.0
+    for name, p in zip(names, progs):
+        j = jax.jit(p)
+        args = (pay,) + tuple(qtabs) if p is p_idct else (pay,)
+        t = _pipe(lambda: j(*args)) * 1e3
+        print(f"{name}: {t:.1f} ms (stage ~{t - prev:.1f})")
+        prev = t
+
+    from jpeg_tpu import decode
+    _sync(decode(jpg, entropy="sparse", device_output=True))
+    t = _pipe(lambda: decode(jpg, entropy="sparse", device_output=True)) * 1e3
+    print(f"full fused program (incl host walk+payload): {t:.1f} ms "
+          f"(finish stage ~{t - prev:.1f} incl upsample+color)")
+
+
 def cmd_decode():
     import jax
     from jpeg_tpu import decode, encode
@@ -240,6 +375,7 @@ def main():
         "alive": cmd_alive, "dispatch": cmd_dispatch,
         "transfer": cmd_transfer, "transform": cmd_transform,
         "pack": cmd_pack, "encode": cmd_encode, "decode": cmd_decode,
+        "pack5": cmd_pack5, "decode_stages": cmd_decode_stages,
     }
     names = sys.argv[1:] or ["alive"]
     if names == ["all"]:
