@@ -42,6 +42,14 @@ BASELINE_MPIX_S = 0.20  # reference, 1 CPU core (BASELINE.md)
 # perf regression still records rather than burning the retry every run.
 TPU_WEATHER_FLOOR_MPIX_S = 140
 
+# BASELINE-config rows that may cross children into the best line (the CPU
+# child demonstrates config 5's mosaic, the TPU child config 4's batch64;
+# everything else stays with the child that measured it).
+MERGE_KEYS = frozenset({
+    "encode_mosaic16_mpix_s", "mosaic_peak_rss_mb",
+    "encode_batch64_mpix_s", "encode_batch64_images",
+})
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -204,15 +212,18 @@ def child(platform: str) -> None:
         except Exception as e:
             log(f"batched encode failed: {type(e).__name__}: {e}")
 
-    # q95 dense-content row: the adaptive scale-2 block-grouping program
-    # (the path q>=95 photographic content takes; r3 had no measured number
-    # for it — VERDICT r3 weak 6 / item 8).
+    # q95 dense-content row: the tree scale-2 program that encode(quality=95)
+    # now dispatches FIRST (the dense_hint quantizer gate skips the scale-1
+    # attempt that would fail — VERDICT r4 item 6: one-pass budget
+    # selection, zero failed dispatches on this path).
     q95_rate = None
     if use_device_pack:
         try:
             qy95 = jnp.asarray(quant.luma_table(95))
             qc95 = jnp.asarray(quant.chroma_table(95))
-            fn95 = E._jit_color_packed(mode, 0, False, "block", 2)
+            assert float(np.mean(quant.luma_table(95))) < 6.0, \
+                "dense_hint gate no longer covers q95"
+            fn95 = E._jit_color_packed(mode, 0, False, "tree", 2)
             out95 = fn95(dev_img, qy95, qc95, *luts)
             sync(out95)
             assert bool(np.asarray(out95[2]).all()), "q95 overflowed scale 2"
@@ -224,8 +235,9 @@ def child(platform: str) -> None:
             sync(o)
             q95_s = (time.time() - t0) / reps
             q95_rate = mpix / q95_s
-            log(f"encode q95 (block scale-2 device program): "
-                f"{q95_s*1e3:.1f} ms -> {q95_rate:.1f} MPix/s")
+            log(f"encode q95 (tree scale-2 device program, dense-hint "
+                f"first dispatch): {q95_s*1e3:.1f} ms -> "
+                f"{q95_rate:.1f} MPix/s")
         except Exception as e:
             log(f"q95 encode row failed: {type(e).__name__}: {e}")
 
@@ -276,6 +288,17 @@ def child(platform: str) -> None:
             stages["host_ms"] = best_of_stage(lambda: jfif.write_jpeg(
                 w, h, comps, {0: qy_np, 1: qc_np}, htables,
                 bitpack.finalize_stream(w_host, [t])))
+        # Same-window end-to-end latency so the stage table reconciles
+        # against a row measured in ITS OWN tunnel weather (VERDICT r4
+        # weak 5: the top-level encode_latency_ms is sampled minutes
+        # earlier and the link's rate swings ~5x between windows; stage
+        # sums against it were nonsense). Compute stages are pipelined
+        # x16 (dispatch floor amortized); transfer stages and this row
+        # are single-shot best-of, so e2e ~ h2d + transform + pack + d2h
+        # + host + one ~22-45 ms dispatch floor.
+        t0 = time.time()
+        device_encode()
+        stages["e2e_same_window_ms"] = round((time.time() - t0) * 1e3, 1)
         log(f"encode stages: {stages}")
     except Exception as e:
         log(f"stage breakdown failed: {type(e).__name__}: {e}")
@@ -296,6 +319,7 @@ def child(platform: str) -> None:
 
     # --- decode: device-resident (pixels stay in HBM — the serving case) ---
     dec_rate = dec_resident_rate = dec_scale8_rate = dec_sustained_rate = None
+    dec_ycbcr_rate = None
     dec_batched_rate = dec_program_rate = None
     dec_stages = {}
     try:
@@ -397,9 +421,10 @@ def child(platform: str) -> None:
                 sync(obd)
                 bat_s = (time.time() - t0) / KBD
                 dec_batched_rate = mpix / bat_s
-                log(f"decode (batched x{KBD} per dispatch, upload-serialized"
-                    f" on this link — see DESIGN §6): {bat_s*1e3:.1f} "
-                    f"ms/img -> {dec_batched_rate:.1f} MPix/s")
+                log(f"decode (batched x{KBD}, auto=pipelined: upload i+1 "
+                    f"rides the link under program i — VERDICT r4 item 5): "
+                    f"{bat_s*1e3:.1f} ms/img -> {dec_batched_rate:.1f} "
+                    f"MPix/s")
             except Exception as e:
                 dec_batched_rate = None
                 log(f"batched decode failed: {type(e).__name__}: {e}")
@@ -410,6 +435,31 @@ def child(platform: str) -> None:
         dec_rate = mpix / dec_s
         log(f"decode (to host): {dec_s*1e3:.1f} ms -> {dec_rate:.1f} MPix/s")
         assert host_out.shape == img.shape
+
+        # ycbcr-planes decode to host (VERDICT r4 item 7): the device stops
+        # at the per-component uint8 planes (1.5 B/pixel for 4:2:0 vs 3 for
+        # RGB — half the d2h on this transfer-bound link) and the host
+        # finish reproduces the RGB bytes exactly. Measured in the SAME
+        # weather window as the decode-to-host row above.
+        dec_ycbcr_rate = None
+        if use_device_pack:
+            try:
+                from jpeg_tpu import finish_ycbcr
+
+                planes = decode(jpg, entropy=entropy, output="ycbcr")  # warm
+                fin = finish_ycbcr(planes)
+                assert np.array_equal(fin, host_out), \
+                    "ycbcr host finish != device RGB on this chip"
+                t0 = time.time()
+                fin = finish_ycbcr(decode(jpg, entropy=entropy,
+                                          output="ycbcr"))
+                yc_s = time.time() - t0
+                dec_ycbcr_rate = mpix / yc_s
+                log(f"decode (ycbcr planes to host + host finish, exact): "
+                    f"{yc_s*1e3:.1f} ms -> {dec_ycbcr_rate:.1f} MPix/s "
+                    f"(same-window speedup {dec_s/yc_s:.2f}x)")
+            except Exception as e:
+                log(f"ycbcr decode row failed: {type(e).__name__}: {e}")
 
         # Stage attribution: each stage measured directly (never derived by
         # subtraction, which went negative in BENCH_r02 when the separately
@@ -486,6 +536,94 @@ def child(platform: str) -> None:
     except Exception as e:
         log(f"decode measurement failed: {type(e).__name__}: {e}")
 
+    # --- BASELINE config 4, literal shape: 64 x 4K sustained encode ------
+    # (VERDICT r4 item 3.) Streamed at two-in-flight through encode_stream
+    # (KB-chunk batching loses to the pipeline on this in-order link —
+    # DESIGN §6 r4); distinct images via np.roll so no 1.6 GB batch is ever
+    # resident (HBM plan: ~2 x 25 MB uint8 in flight + the packed words).
+    # Upload-bound: 64 x 24.9 MB at the tunnel's 6-45 MB/s is 35-260 s, so
+    # the row keeps its own wall-clock budget and reports honestly partial
+    # counts if the weather is bad.
+    batch64_rate = None
+    batch64_n = 0
+    if use_device_pack:
+        try:
+            from jpeg_tpu.parallel.pipeline import encode_stream
+
+            def imgs64():
+                for i in range(64):
+                    yield np.roll(img, 13 * i, axis=0)
+
+            budget_s = 150.0
+            t0 = time.time()
+            outs = []
+            for j64 in encode_stream(imgs64(), quality=75,
+                                     subsampling="420"):
+                outs.append(len(j64))
+                batch64_n += 1
+                if time.time() - t0 > budget_s and batch64_n < 64:
+                    log(f"batch64 row: budget hit at {batch64_n}/64")
+                    break
+            el = time.time() - t0
+            batch64_rate = batch64_n * mpix / el
+            log(f"encode 64x4K stream (config 4): {batch64_n}/64 images in "
+                f"{el:.1f} s -> {batch64_rate:.1f} MPix/s sustained")
+        except Exception as e:
+            log(f"batch64 row failed: {type(e).__name__}: {e}")
+
+    # --- BASELINE config 5, literal shape: 16 x 4K tiles, one JFIF out ---
+    # (VERDICT r4 item 4.) encode_mosaic_stream on a 4x4 grid of 4K tiles
+    # (15360 x 8640 = 132.7 MPix) with bounded RSS — the stripes are
+    # synthesized on demand, the stream splices at restart boundaries, and
+    # PIL decodes the single JFIF as the independent oracle. Runs in the
+    # CPU child (tunnel-independent; the TPU transform path for mosaics is
+    # exercised by tests/test_mosaic_stream.py on the virtual mesh).
+    mosaic_rate = None
+    mosaic_rss_mb = None
+    if not use_device_pack:
+        try:
+            import resource
+
+            from jpeg_tpu.parallel.mosaic import encode_mosaic_stream
+
+            mh, mw = 4 * img.shape[0], 4 * img.shape[1]  # 8640 x 15360
+
+            def source(r0, r1):
+                rows = np.take(img, np.arange(r0, r1) % img.shape[0],
+                               axis=0)
+                return np.tile(rows, (1, 4, 1))
+
+            t0 = time.time()
+            jpg_m = encode_mosaic_stream(source, mh, mw, quality=75,
+                                         subsampling="420")
+            el = time.time() - t0
+            mosaic_mpix = mh * mw / 1e6
+            mosaic_rate = mosaic_mpix / el
+            mosaic_rss_mb = resource.getrusage(
+                resource.RUSAGE_SELF).ru_maxrss // 1024
+            log(f"encode mosaic 16x4K (config 5): {mosaic_mpix:.0f} MPix in "
+                f"{el:.1f} s -> {mosaic_rate:.1f} MPix/s, "
+                f"{len(jpg_m)/1e6:.1f} MB JFIF, process peak RSS "
+                f"{mosaic_rss_mb} MB")
+            from PIL import Image
+            import io as _io
+
+            Image.MAX_IMAGE_PIXELS = None
+            pm = Image.open(_io.BytesIO(jpg_m))
+            assert pm.size == (mw, mh)
+            # Spot-verify decoded pixels: PIL's full 132 MPix decode in the
+            # bench window is wasteful; crop-decode the top strip and check
+            # it matches PIL's decode of our encoder's output for the same
+            # source rows (oracle parity at the seam and interior).
+            strip = np.asarray(pm.crop((0, 0, mw, 64)))
+            ref_rows = source(0, 64).astype(np.float32)
+            err = np.mean((strip.astype(np.float32) - ref_rows) ** 2)
+            psnr = 10 * np.log10(255.0 ** 2 / max(err, 1e-9))
+            assert psnr > 30, f"mosaic strip PSNR {psnr:.1f} dB"
+            log(f"mosaic PIL-decoded strip PSNR vs source: {psnr:.1f} dB")
+        except Exception as e:
+            log(f"mosaic row failed: {type(e).__name__}: {e}")
+
     tag = "device-resident sustained" if use_device_pack else "host"
     result = {
         "metric": f"4K q75 4:2:0 encode to JFIF bytes ({tag}, {platform})",
@@ -512,8 +650,16 @@ def child(platform: str) -> None:
         result["decode_batched_mpix_s"] = round(dec_batched_rate, 2)
     if dec_rate is not None:
         result["decode_to_host_mpix_s"] = round(dec_rate, 2)
+    if dec_ycbcr_rate is not None:
+        result["decode_ycbcr_to_host_mpix_s"] = round(dec_ycbcr_rate, 2)
     if dec_scale8_rate is not None:
         result["decode_scale8_to_host_mpix_s"] = round(dec_scale8_rate, 2)
+    if batch64_rate is not None:
+        result["encode_batch64_mpix_s"] = round(batch64_rate, 2)
+        result["encode_batch64_images"] = batch64_n
+    if mosaic_rate is not None:
+        result["encode_mosaic16_mpix_s"] = round(mosaic_rate, 2)
+        result["mosaic_peak_rss_mb"] = mosaic_rss_mb
     print(json.dumps(result), flush=True)
 
 
@@ -584,8 +730,22 @@ def main() -> int:
             result = json.loads(line)
             log(f"{platform} result: {result['value']} {result['unit']}")
             if best is None or result["value"] > best["value"]:
-                best = result
+                # Headline (value/metric) comes from the best child; the
+                # BASELINE config rows only one child produces (the CPU
+                # child's mosaic config-5 row, the TPU child's batch64
+                # config-4 row) are merged so the single recorded line
+                # carries every demonstrated config. Only these
+                # platform-tagged-in-name keys cross children.
+                carry = {k: v for k, v in (best or {}).items()
+                         if k in MERGE_KEYS and k not in result}
+                best = {**carry, **result}
                 print(json.dumps(best), flush=True)
+            else:
+                added = {k: v for k, v in result.items()
+                         if k in MERGE_KEYS and k not in best}
+                if added:
+                    best.update(added)
+                    print(json.dumps(best), flush=True)
         else:
             log(f"{platform} attempt failed (rc={rc})")
     if best is not None:

@@ -8,7 +8,9 @@ programs and entropy coding restructured for parallelism.
 """
 
 from jpeg_tpu.config import EncodeConfig, Subsampling  # noqa: F401
-from jpeg_tpu.models.decoder import decode, decode_batched  # noqa: F401
+from jpeg_tpu.models.decoder import (  # noqa: F401
+    YCbCrPlanes, decode, decode_batched, finish_ycbcr,
+)
 from jpeg_tpu.models.encoder import (  # noqa: F401
     encode, encode_batched, encode_bmp_to_jpeg, encode_rgb_to_jpeg,
 )

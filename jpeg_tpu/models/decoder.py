@@ -19,6 +19,7 @@ libjpeg output formats.
 from __future__ import annotations
 
 import functools
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -121,6 +122,114 @@ def _finish_color(y_zz, cb_zz, cr_zz, qy, qcb, qcr, shapes, factors,
 def _finish_gray(zz, qy, shape, k: int = 8):
     plane = _reconstruct_plane(zz, qy, shape, k=k)
     return jnp.clip(jnp.round(plane), 0, 255).astype(jnp.uint8)
+
+
+class YCbCrPlanes(typing.NamedTuple):
+    """decode(output="ycbcr") result: per-component uint8 sample planes at
+    their PADDED block-grid sizes (the full padded planes are required for
+    an exact host finish — the triangular upsample's edge samples read the
+    block-padding columns that the device RGB path also reads before its
+    crop). `finish_ycbcr` reproduces decode(output="rgb") bit-exactly.
+
+    For 4:2:0 the three planes total 1.5 bytes/pixel vs 3 for RGB — half
+    the device->host transfer on bandwidth-bound links (VERDICT r4 item 7).
+    """
+
+    planes: tuple       # per-component 2-D uint8 arrays (np or device)
+    height: int         # true output frame height (after scale_denom)
+    width: int
+    factors: tuple      # per-component (fh, fv) upsample ratios
+    fancy: tuple        # per-component triangular-vs-replication choice
+
+
+def _finish_planes(y_zz, cb_zz, cr_zz, qy, qcb, qcr, shapes,
+                   use_pallas: bool = False, k: int = 8):
+    """Device half of the ycbcr output: per-component integer sample planes
+    (the exact values _finish_color would feed its upsample/color tail),
+    as uint8."""
+    return tuple(
+        _reconstruct_plane(zz, q, shape, use_pallas, k).astype(jnp.uint8)
+        for zz, q, shape in zip(
+            (y_zz, cb_zz, cr_zz), (qy, qcb, qcr), shapes)
+    )
+
+
+@functools.cache
+def _jit_finish_planes(shapes, use_pallas=False, k=8):
+    return jax.jit(functools.partial(
+        _finish_planes, shapes=shapes, use_pallas=use_pallas, k=k))
+
+
+@functools.cache
+def _jit_finish_planes_sparse(B, Sp, Ep, Edp, comp_ranges, raster_geo,
+                              shapes, use_pallas, k):
+    """Sparse one-program twin of _jit_finish_planes: densify + reorder +
+    per-component plane reconstruction, stopping before upsample/color."""
+
+    def program(payload, qy, qcb, qcr):
+        rows = decode_device.densify_body(payload, B, Sp, Ep, Edp)
+        zz = []
+        for (lo, hi), geo in zip(comp_ranges, raster_geo):
+            s = rows[lo:hi]
+            if geo is not None:
+                s = layout.scan_to_raster(s, *geo)
+            zz.append(s)
+        return _finish_planes(*zz, qy, qcb, qcr, shapes, use_pallas, k)
+
+    return jax.jit(program)
+
+
+def _np_triangle_axis(x: np.ndarray, axis: int) -> np.ndarray:
+    """NumPy mirror of subsample._triangle_axis (same f32 expression order,
+    so results are bit-identical for integer-valued inputs)."""
+    x = np.moveaxis(x, axis, 0)
+    prev = np.concatenate([x[:1], x[:-1]], axis=0)
+    nxt = np.concatenate([x[1:], x[-1:]], axis=0)
+    a = (np.float32(3.0) * x + prev) * np.float32(0.25)
+    b = (np.float32(3.0) * x + nxt) * np.float32(0.25)
+    out = np.stack([a, b], axis=1).reshape(2 * x.shape[0], *x.shape[1:])
+    return np.moveaxis(out, 0, axis)
+
+
+def _np_upsample(x: np.ndarray, fv: int, fh: int, fan: bool) -> np.ndarray:
+    if not fan:
+        return x.repeat(fv, axis=0).repeat(fh, axis=1)
+    f = fh
+    while f > 1:
+        if f % 2:
+            return x.repeat(fv, axis=0).repeat(f, axis=1)
+        x = _np_triangle_axis(x, 1)
+        f //= 2
+    f = fv
+    while f > 1:
+        if f % 2:
+            return x.repeat(f, axis=0)
+        x = _np_triangle_axis(x, 0)
+        f //= 2
+    return x
+
+
+def finish_ycbcr(p: YCbCrPlanes) -> np.ndarray:
+    """Host finish for decode(output="ycbcr"): upsample + YCbCr->RGB +
+    round/clip + crop, bit-identical to decode(output="rgb") on the same
+    stream (pinned by tests/test_ycbcr_output.py). All host f32 ops mirror
+    the device finish expression for expression: integer uint8 samples make
+    the triangle weights exact quarter-integers and each color channel is
+    one f32 multiply-add chain in the same order as the device matmul
+    row."""
+    planes = []
+    for plane, (fh, fv), fan in zip(p.planes, p.factors, p.fancy):
+        x = np.asarray(plane).astype(np.float32)
+        if fh > 1 or fv > 1:
+            x = _np_upsample(x, fv, fh, fan)
+        planes.append(x)
+    h = min(pl.shape[0] for pl in planes)
+    w = min(pl.shape[1] for pl in planes)
+    ycc = np.stack([pl[:h, :w] for pl in planes], axis=-1)
+    x = ycc - color.YCBCR_OFFSET
+    rgb = x @ color.YCBCR_TO_RGB.T.astype(np.float32)
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return out[: p.height, : p.width]
 
 
 def _finish_cmyk(zz1, zz2, zz3, zz4, q1, q2, q3, q4, shapes, factors,
@@ -386,7 +495,8 @@ def decode(data: bytes, fancy_upsample: bool = True,
            max_pixels: int | None = 2_000_000_000,
            entropy: str = "auto",
            device_output: bool = False,
-           scale_denom: int = 1) -> np.ndarray:
+           scale_denom: int = 1,
+           output: str = "rgb") -> np.ndarray:
     """Decode JPEG bytes to (H, W, 3) RGB, (H, W) gray, or — for Adobe
     4-component CMYK/YCCK streams — (H, W, 4) CMYK uint8 samples.
 
@@ -409,10 +519,17 @@ def decode(data: bytes, fancy_upsample: bool = True,
     lowest frequencies; output is ceil(H/scale_denom) x ceil(W/scale_denom).
     The thumbnail-serving path: entropy decode is unchanged but the finishing
     program and the device->host transfer shrink by scale_denom^2.
+    output: "rgb" (default) or "ycbcr" — return a YCbCrPlanes of the
+    per-component uint8 sample planes instead of finished RGB (3-component
+    YCbCr streams only). finish_ycbcr(planes) reproduces the RGB result
+    bit-exactly on the host; for 4:2:0 the planes are half the d2h bytes of
+    the finished RGB (the serving answer when the host link is the bound).
     """
     if entropy not in ("auto", "native", "numpy", "device", "indexed",
                        "sparse"):
         raise ValueError(f"unknown entropy backend {entropy!r}")
+    if output not in ("rgb", "ycbcr"):
+        raise ValueError(f"unknown output {output!r}")
     if scale_denom not in (1, 2, 4, 8):
         raise ValueError(f"scale_denom must be 1, 2, 4 or 8, got {scale_denom}")
     k = 8 // scale_denom
@@ -422,6 +539,9 @@ def decode(data: bytes, fancy_upsample: bool = True,
             f"frame {info.width}x{info.height} exceeds max_pixels={max_pixels}"
         )
     comps = info.components
+    if output == "ycbcr" and len(comps) != 3:
+        raise ValueError(
+            f"output='ycbcr' needs a 3-component stream, got {len(comps)}")
 
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
@@ -554,6 +674,32 @@ def decode(data: bytes, fancy_upsample: bool = True,
         info.adobe_transform is None
         and tuple(c.comp_id for c in comps) == (0x52, 0x47, 0x42)
     )
+    if output == "ycbcr":
+        if is_rgb:
+            raise ValueError(
+                "output='ycbcr' requires a YCbCr-coded stream (this one "
+                "stores RGB components)")
+        hlim = layout.ceil_div(info.height, scale_denom)
+        wlim = layout.ceil_div(info.width, scale_denom)
+        if sparse_fused is not None:
+            payload, B, Sp, Ep, Edp = sparse_fused
+            ranges, geo, base = [], [], 0
+            for c in comps:
+                bpm = c.h * c.v
+                ranges.append((base, base + bpm * n_mcu))
+                geo.append(
+                    (mcu_rows, mcu_cols, c.v, c.h) if bpm > 1 else None)
+                base += bpm * n_mcu
+            planes = _jit_finish_planes_sparse(
+                B, Sp, Ep, Edp, tuple(ranges), tuple(geo), shapes,
+                bool(use_pallas), k,
+            )(jnp.asarray(payload), *qtabs)
+        else:
+            planes = _jit_finish_planes(shapes, bool(use_pallas), k)(
+                *(jnp.asarray(z) for z in zz), *qtabs)
+        if not device_output:
+            planes = tuple(np.asarray(p) for p in planes)
+        return YCbCrPlanes(tuple(planes), hlim, wlim, factors, fancy)
     if sparse_fused is not None:
         payload, B, Sp, Ep, Edp = sparse_fused
         ranges, geo, base = [], [], 0
@@ -580,15 +726,28 @@ def decode(data: bytes, fancy_upsample: bool = True,
 
 def decode_batched(datas, fancy_upsample: bool = True,
                    device_output: bool = False,
-                   scale_denom: int = 1) -> np.ndarray:
-    """Decode K same-geometry baseline JPEGs with ONE device program.
+                   scale_denom: int = 1,
+                   batch_mode: str = "auto") -> np.ndarray:
+    """Decode K same-geometry baseline JPEGs as one batch.
 
     The decode twin of the encoder's batched packed program (single-chip
     dispatch-floor amortization): each stream's entropy layer is resolved on
-    the host by the sparse C++ walk (threaded across streams), the K payloads
-    are padded to one size bucket and uploaded as a single (K, L) array, and
-    a vmapped fused program densifies, reorders and finishes every image in
-    one dispatch. Bit-identical to per-image decode().
+    the host by the sparse C++ walk (threaded across streams), payloads are
+    padded to one shared size bucket, and the device densifies, reorders and
+    finishes every image. Bit-identical to per-image decode().
+
+    batch_mode selects the dispatch composition (identical pixels either
+    way):
+      "pipelined" — one shared-bucket fused program per image, dispatched
+        back to back: the in-order link carries payload i+1's upload while
+        image i's program runs (the double-buffering the encoder's pipeline
+        uses). One compile total (shared buckets), K dispatches.
+      "fused"     — all K payloads upload first, then ONE vmapped program
+        decodes the batch. Minimum dispatch count, but the K uploads
+        serialize ahead of any compute — measured 5x slower end-to-end on
+        an upload-bound link (BENCH_r04 40.2 vs 209.2 MPix/s; DESIGN §6).
+      "auto"      — "pipelined" for K >= 2 (every link this engine has run
+        on is upload-bound; VERDICT r4 item 5), "fused" for K == 1.
 
     Requirements: native runtime available; homogeneous 3-component
     single-scan interleaved sequential streams — identical geometry, sampling
@@ -599,6 +758,8 @@ def decode_batched(datas, fancy_upsample: bool = True,
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    if batch_mode not in ("auto", "pipelined", "fused"):
+        raise ValueError(f"unknown batch_mode {batch_mode!r}")
     if scale_denom not in (1, 2, 4, 8):
         raise ValueError(f"scale_denom must be 1, 2, 4 or 8, got {scale_denom}")
     if not datas:
@@ -680,14 +841,6 @@ def decode_batched(datas, fancy_upsample: bool = True,
     Edp = decode_device.exception_bucket(max(
         decode_device.dc_diff_exceptions(w[3]) for w in walks
     ))
-    # Build + upload each payload separately: device_put is async, so the
-    # transfer of payload i rides the link while payload i+1 is being
-    # packed, instead of serializing one big stacked upload after all the
-    # host work (VERDICT r3 weak 1).
-    dev_payloads = [
-        jax.device_put(decode_device.build_payload(*w, Sp, Ep, Edp))
-        for w in walks
-    ]
     B = walks[0][2].shape[0]
 
     ranges, geo, base = [], [], 0
@@ -704,10 +857,40 @@ def decode_batched(datas, fancy_upsample: bool = True,
         i0.adobe_transform is None
         and tuple(c.comp_id for c in comps) == (0x52, 0x47, 0x42)
     )
-    out = _jit_finish_color_sparse_batch(
-        len(dev_payloads), B, Sp, Ep, Edp, tuple(ranges), tuple(geo),
-        shapes, factors, fancy, False, is_rgb, k,
-    )(*dev_payloads, *qtabs)
-    out = out[:, : layout.ceil_div(i0.height, scale_denom),
-              : layout.ceil_div(i0.width, scale_denom)]
-    return out if device_output else np.asarray(out)
+    hlim = layout.ceil_div(i0.height, scale_denom)
+    wlim = layout.ceil_div(i0.width, scale_denom)
+
+    if batch_mode == "fused" or (batch_mode == "auto" and len(walks) == 1):
+        # Build + upload each payload separately: device_put is async, so
+        # the transfer of payload i rides the link while payload i+1 is
+        # being packed, instead of serializing one big stacked upload after
+        # all the host work (VERDICT r3 weak 1).
+        dev_payloads = [
+            jax.device_put(decode_device.build_payload(*w, Sp, Ep, Edp))
+            for w in walks
+        ]
+        out = _jit_finish_color_sparse_batch(
+            len(dev_payloads), B, Sp, Ep, Edp, tuple(ranges), tuple(geo),
+            shapes, factors, fancy, False, is_rgb, k,
+        )(*dev_payloads, *qtabs)
+        out = out[:, :hlim, :wlim]
+        return out if device_output else np.asarray(out)
+
+    # Pipelined: dispatch the shared-bucket per-image fused program right
+    # after each payload upload — program i computes while payload i+1's
+    # transfer rides the in-order link (VERDICT r4 item 5: cross-batch
+    # double-buffering). Shared buckets keep this at ONE compiled program
+    # for the whole batch.
+    fn = _jit_finish_color_sparse(
+        B, Sp, Ep, Edp, tuple(ranges), tuple(geo), shapes, factors,
+        fancy, False, is_rgb, k,
+    )
+    outs = []
+    for wlk in walks:
+        dev = jax.device_put(decode_device.build_payload(*wlk, Sp, Ep, Edp))
+        outs.append(fn(dev, *qtabs)[:hlim, :wlim])
+    if device_output:
+        return jnp.stack(outs)
+    # Per-image host fetches drain in dispatch order, overlapping the
+    # remaining programs.
+    return np.stack([np.asarray(o) for o in outs])

@@ -297,33 +297,34 @@ def _emit_record_channels(dbits, dnbits, b0, n0, b1, n1, cbits, cn,
 
 def _level1_channels_fixed(blocks, tid: int, dc_code, dc_len, ac_code,
                            ac_len, block_words: int = BLOCK_WORDS,
-                           lookup: str = "bf16"):
+                           lookup: str = "tree"):
     """Channel-wise level 1 for blocks that ALL share one STATIC Huffman
     table id (the encoder's MCU interleave is a static [0]*hv + [1, 1]
     pattern per MCU, so Y and C split into contiguous fixed-id arrays —
     see _level1_channels_split). Versus the mixed-id `_level1_channels`:
 
-      * the AC stage-1 one-hot narrows 32 -> 16 (run only — the table id is
-        compile-time), halving the dominant one-hot LHS traffic;
-      * the size-select (stage 2) folds into each byte-plane dot's consumer
-        as an f32 weighted reduce, so the (B, 63, 16) int32 candidate
-        tensor and its 3-plane combine never materialize — only the
-        (B, 63) selected planes do;
+      * the AC code lookup needs no table-id axis (it is compile-time), so
+        the dominant lookup traffic halves;
       * ZRL/EOB codes become scalars (no (B, 63) table-id selects).
 
-    lookup: "bf16" (default — 8-bit planes in bf16 one-hot dots, exact by
-    the 0/1 x <=255 f32-accumulation argument) or "int8" (7-bit planes in
-    s8 x s8 -> s32 MXU dots; exact trivially, half the LHS bytes again) —
-    both probed on hardware, see DESIGN §6 round 5.
+    lookup — the (run, size) -> code*32+len map, all bit-identical:
+      "tree" (default): pure-VPU binary select tree over the 256-entry
+        table — 255 fused elementwise selects per coefficient, no one-hot
+        LHS and no (B, 63, 16) candidate tensor at all (measured fastest
+        on the v5e, DESIGN §6 r5);
+      "bf16": 16-wide one-hot MXU dots against 8-bit byte planes (exact by
+        the 0/1 x <=255 f32-accumulation argument), size-select folded
+        into each plane dot's consumer;
+      "int8": 7-bit planes in s8 x s8 -> s32 MXU dots;
+      "stack": the bf16 planes stacked to one (16, 48) RHS (measured
+        negative: the wider candidate tensor materializes).
 
     Byte-identical to _level1_channels with tbl filled with `tid`."""
     from jpeg_tpu.ops import symbols
 
     blocks = blocks.astype(jnp.int32)
 
-    # Plane parameters: n_planes x plane_bits must cover the 21-bit packed
-    # code*32+len values.
-    if lookup == "bf16":
+    if lookup in ("bf16", "stack", "tree"):
         oh_dtype, pbits, shifts = jnp.bfloat16, 8, (16, 8, 0)
     elif lookup == "int8":
         oh_dtype, pbits, shifts = jnp.int8, 7, (14, 7, 0)
@@ -345,8 +346,7 @@ def _level1_channels_fixed(blocks, tid: int, dc_code, dc_len, ac_code,
     dbits = (dcode << dsize.astype(jnp.uint32)) | _amp_bits(dc, dsize)
     dnbits = dlen + dsize
 
-    # AC: 16-wide one-hot over run; per-plane dots with the size-select
-    # fused into each dot's consumer.
+    # AC code lookup over (run, size).
     nz, run, last_nz = symbols.ac_run_lengths(blocks)
     nz = nz[:, 1:]
     run = jnp.where(nz, run[:, 1:], 0)
@@ -354,18 +354,48 @@ def _level1_channels_fixed(blocks, tid: int, dc_code, dc_len, ac_code,
     size = jnp.where(nz, symbols.bit_size(v), 0)
     ac_t = (ac_code[tid].astype(jnp.int32) * 32
             + ac_len[tid].astype(jnp.int32)).reshape(16, 16)  # [run, size]
-    oh = jax.nn.one_hot(run & 15, 16, dtype=oh_dtype)         # (B, 63, 16)
-    oh_sz = jax.nn.one_hot(size, 16, dtype=jnp.float32)
-    sel = None
-    for shift in shifts:
-        plane = ((ac_t >> shift) & pmask).astype(oh_dtype)    # (16, 16)
+    if lookup == "tree":
+        # Binary select tree over the flat 256-entry table: one fused
+        # elementwise pass over (B, 63); selects are exact integer ops.
+        flat_t = ac_t.reshape(256)
+        idx = (run & 15) * 16 + size
+        vals = [flat_t[j] for j in range(256)]
+        bit = 1
+        while len(vals) > 1:
+            pick = (idx & bit) != 0
+            vals = [jnp.where(pick, vals[2 * j + 1], vals[2 * j])
+                    for j in range(len(vals) // 2)]
+            bit <<= 1
+        sel = vals[0]
+    elif lookup == "stack":
+        # One dot against the three byte planes stacked to (16, 48): the
+        # one-hot LHS is read ONCE instead of once per plane; measured
+        # NEGATIVE (the (B, 63, 48) candidate tensor materializes).
+        oh = jax.nn.one_hot(run & 15, 16, dtype=oh_dtype)
+        oh_sz = jax.nn.one_hot(size, 16, dtype=jnp.float32)
+        planes = jnp.concatenate(
+            [((ac_t >> s) & pmask).astype(oh_dtype) for s in shifts],
+            axis=1)                                           # (16, 48)
         p = jax.lax.dot_general(
-            oh, plane, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32 if lookup == "bf16"
-            else jnp.int32,
-        )
-        pp = jnp.sum(p.astype(jnp.float32) * oh_sz, axis=-1).astype(jnp.int32)
-        sel = pp if sel is None else (sel << pbits) + pp
+            oh, planes, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(*oh.shape[:2], 3, 16)
+        pp = jnp.sum(p * oh_sz[:, :, None, :], axis=-1).astype(jnp.int32)
+        sel = ((pp[..., 0] << pbits) + pp[..., 1] << pbits) + pp[..., 2]
+    else:
+        oh = jax.nn.one_hot(run & 15, 16, dtype=oh_dtype)     # (B, 63, 16)
+        oh_sz = jax.nn.one_hot(size, 16, dtype=jnp.float32)
+        sel = None
+        for shift in shifts:
+            plane = ((ac_t >> shift) & pmask).astype(oh_dtype)  # (16, 16)
+            p = jax.lax.dot_general(
+                oh, plane, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32 if lookup == "bf16"
+                else jnp.int32,
+            )
+            pp = jnp.sum(
+                p.astype(jnp.float32) * oh_sz, axis=-1).astype(jnp.int32)
+            sel = pp if sel is None else (sel << pbits) + pp
     code = jax.lax.shift_right_logical(sel, 5).astype(jnp.uint32)
     aclen = sel & 31
     clen = jnp.where(nz, aclen, 0)
@@ -393,7 +423,7 @@ def _level1_channels_fixed(blocks, tid: int, dc_code, dc_len, ac_code,
 
 def _level1_channels_split(blocks, hv: int, dc_code, dc_len, ac_code,
                            ac_len, block_words: int = BLOCK_WORDS,
-                           lookup: str = "bf16"):
+                           lookup: str = "tree"):
     """Level 1 for MCU-interleaved blocks with the encoder's STATIC
     [luma]*hv + [chroma]*2 per-MCU table pattern: slice Y and C into
     contiguous arrays (static slices — no gather), run the fixed-id level 1
@@ -729,7 +759,7 @@ def pack_blocks_tree(blocks, tbl, dc_code, dc_len, ac_code, ac_len,
                      mcu_words: int | None = None,
                      split_hv: int | None = None,
                      fixed_tid: int | None = None,
-                     lookup: str = "bf16"):
+                     lookup: str = "tree"):
     """Fused device pack straight from coefficient blocks: channel-wise
     level 1 (_level1_channels — no materialized 191-field record stream),
     block->MCU shift-combine, log-depth level-2 tree. Byte-identical to

@@ -27,13 +27,20 @@ def encode_stream(
     subsampling="420",
     depth: int = 2,
     device_pack: bool | None = None,
+    optimize_tables: bool = False,
 ) -> Iterator[bytes]:
     """Encode a stream of RGB images, keeping `depth` device transforms in
     flight while the host finalizes earlier ones. Yields JFIF bytes in order.
 
-    Standard Huffman tables only (optimized tables need a second pass over
-    statistics and break the single-flight pipeline; use parallel.batch for
-    that). Images may vary in size — each distinct geometry compiles once.
+    optimize_tables (r5, VERDICT r4 item 9): per-image optimal Huffman
+    tables WITHOUT breaking the pipeline — the image uploads once, its
+    histogram program dispatches immediately (riding the async stream with
+    image i+1's upload), and the packed program launches at finish time
+    with that image's optimal LUTs as arguments (same compiled executable —
+    the tables are runtime args, not compile constants). Costs one extra
+    device program per image, no extra transfer.
+
+    Images may vary in size — each distinct geometry compiles once.
     """
     cfg = EncodeConfig(quality=quality, subsampling=_as_subsampling(subsampling))
     mode = cfg.subsampling
@@ -46,6 +53,7 @@ def encode_stream(
     qc = jnp.asarray(quant.chroma_table(cfg.quality))
     qy_np = quant.luma_table(cfg.quality)
     qc_np = quant.chroma_table(cfg.quality)
+    dense = float(np.mean(qy_np)) < 6.0  # encode()'s dense-content hint
 
     def dispatch(img: np.ndarray):
         img = E._normalize_image(img)  # encode()'s float/dtype convention
@@ -56,21 +64,66 @@ def encode_stream(
             jnp.asarray(img), mode.mcu_height, mode.mcu_width
         )
         if not device_pack:
-            return ("host", img, None)
+            cfg_ot = EncodeConfig(
+                quality=quality, subsampling=cfg.subsampling,
+                optimize_tables=optimize_tables)
+            return ("host", img, cfg_ot)
+        if optimize_tables:
+            hists = E._jit_color_hists(mode, 0)(dev, qy, qc)  # async
+            return ("device_opt", img, (h0, w0, dev, hists))
+        if dense:
+            # Dense-content hint (same gate as encode()): the scale-1 tree
+            # program would overflow and cost a wasted dispatch — go
+            # straight to scale 2.
+            out = E._jit_color_packed(mode, 0, False, "tree", 2)(
+                dev, qy, qc, *luts)
+            return ("device2", img, (h0, w0, dev, out))
         out = E._jit_color_packed(mode, 0)(dev, qy, qc, *luts)
         return ("device", img, (h0, w0, dev, out))
 
     def finish(item) -> bytes:
         kind, img, payload = item
         if kind == "host":
-            return E._encode_color(img, cfg, None, device_pack=False)
+            return E._encode_color(img, payload, None, device_pack=False)
+        if kind == "device_opt":
+            h0, w0, dev, hists = payload
+            hists = np.asarray(hists)
+            ht = {
+                (0, 0): huffman.optimal_table(hists[0]),
+                (1, 0): huffman.optimal_table(hists[1]),
+                (0, 1): huffman.optimal_table(hists[2]),
+                (1, 1): huffman.optimal_table(hists[3]),
+            }
+            l_img = tuple(
+                jnp.asarray(a) for a in bitpack.luts_from_tables(ht))
+            words, totals, ok = E.device_pack_retry(
+                dev, qy, qc, l_img, mode, 0, dense_hint=dense)
+            if not ok:
+                cfg_ot = EncodeConfig(
+                    quality=quality, subsampling=cfg.subsampling,
+                    optimize_tables=True)
+                return E._encode_color(img, cfg_ot, None, device_pack=False)
+            t = int(np.asarray(totals)[0])
+            w_host = np.asarray(words[:, : (t + 31) // 32])
+            scan = bitpack.finalize_stream(w_host, [t])
+            comps = E._color_components(mode)
+            return jfif.write_jpeg(
+                w0, h0, comps, {0: qy_np, 1: qc_np}, ht, scan
+            )
         h0, w0, dev, (words, totals, ok) = payload
         if not bool(np.asarray(ok).all()):
-            # Resume the shared overflow retry ladder (block -> block at
-            # scale 2) before abandoning the device — dense q>=95 frames
-            # would otherwise silently host-pack the whole stream.
-            words, totals, ok2 = E.device_pack_retry(
-                dev, qy, qc, luts, mode, 0, skip_tree=True)
+            if kind == "device2":
+                # The dispatched program was already the scale-2 rung;
+                # continue at scale 4 before abandoning the device.
+                words, totals, ok2 = E._jit_color_packed(
+                    mode, 0, False, "tree", 4)(dev, qy, qc, *luts)
+                ok2 = bool(np.asarray(ok2).all())
+            else:
+                # Resume the shared overflow retry ladder (tree at scale 2
+                # -> 4) before abandoning the device — dense q>=95 frames
+                # would otherwise silently host-pack the whole stream.
+                words, totals, ok2 = E.device_pack_retry(
+                    dev, qy, qc, luts, mode, 0, skip_tree=True)
             if not ok2:
                 return E._encode_color(img, cfg, None, device_pack=False)
         t = int(np.asarray(totals)[0])

@@ -223,9 +223,16 @@ def test_decode_batched_matches_per_image(tiger):
                        restart_interval=r, optimize_tables=opt)
         for im, r, opt in zip(imgs, (0, 5, 0), (False, False, True))
     ]
-    got = decode_batched(datas)
+    got = decode_batched(datas)  # auto -> pipelined at K=3
     for d, g in zip(datas, got):
         np.testing.assert_array_equal(g, decode(d, entropy="numpy"))
+    # Both dispatch compositions must produce identical pixels (r5: the
+    # auto default pipelines per-image programs; fused is the one-vmapped-
+    # program mode).
+    np.testing.assert_array_equal(
+        got, decode_batched(datas, batch_mode="fused"))
+    with pytest.raises(ValueError):
+        decode_batched(datas, batch_mode="nope")
     s4 = decode_batched(datas, scale_denom=4)
     for d, g in zip(datas, s4):
         np.testing.assert_array_equal(g, decode(d, entropy="numpy",

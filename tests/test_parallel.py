@@ -172,6 +172,25 @@ def test_encode_stream_matches_encode(rng):
         assert jpg == encode(img, quality=80, subsampling="420")
 
 
+def test_encode_stream_optimized_tables(rng):
+    """r5 (VERDICT r4 item 9): optimize_tables=True streams per-image
+    optimal-table encodes byte-identical to encode(optimize_tables=True) —
+    the histogram program rides the pipeline, the upload is shared."""
+    from jpeg_tpu.parallel.pipeline import encode_stream
+
+    imgs = [_test_imgs(rng, b=1, h=48, w=64)[0] for _ in range(3)]
+    outs = list(encode_stream(imgs, quality=80, subsampling="420",
+                              device_pack=True, optimize_tables=True))
+    for img, jpg in zip(imgs, outs):
+        assert jpg == encode(img, quality=80, subsampling="420",
+                             optimize_tables=True)
+    # Host path carries the flag too.
+    outs = list(encode_stream(imgs[:1], quality=80, subsampling="420",
+                              device_pack=False, optimize_tables=True))
+    assert outs[0] == encode(imgs[0], quality=80, subsampling="420",
+                             optimize_tables=True)
+
+
 @pytest.mark.parametrize("mode", [Subsampling.YUV444, Subsampling.YUV420])
 def test_sharded_decode_matches_single_device(rng, mode):
     """Distributed decode finishing (with halo exchange for the triangular

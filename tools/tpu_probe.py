@@ -234,6 +234,50 @@ def cmd_pack5():
     assert len(set(totals.values())) == 1, f"variant totals differ: {totals}"
 
 
+def cmd_pack5b():
+    """Round-5 level-1 attribution within the SPLIT formulation: transform
+    alone, split level 1 alone (bf16 vs stacked-RHS), full pack from
+    blocks, and the KB=12 batched program."""
+    import jax
+    from jpeg_tpu.models import encoder as E
+    from jpeg_tpu.ops import bitpack
+
+    img, dev, qy, qc, luts, mode = _setup_4k()
+    hv = mode.h_factor * mode.v_factor
+    bpm = hv + 2
+
+    jb = jax.jit(lambda rgb, qy, qc: E._interleaved_blocks(
+        rgb, qy, qc, mode, 0)[0])
+    t = _pipe(lambda: jb(dev, qy, qc))
+    print(f"transform+interleave alone: {t*1e3:.1f} ms")
+    blocks = jb(dev, qy, qc)
+    _sync(blocks)
+
+    for lk in ("bf16", "stack", "tree"):
+        j1 = jax.jit(lambda bl, *l: bitpack._level1_channels_split(
+            bl, hv, *l, bitpack.BLOCK_WORDS, lk))
+        t = _pipe(lambda: j1(blocks, *luts))
+        print(f"split level 1 alone ({lk}): {t*1e3:.1f} ms")
+
+    nblocks = int(blocks.shape[0])
+    nwords = nblocks * E.WORDS_PER_BLOCK + 2
+    tb = jax.numpy.zeros((nblocks,), jax.numpy.int32)
+    jp = jax.jit(lambda bl, *l: bitpack.pack_blocks_tree(
+        bl, tb, *l, nwords, bpm, split_hv=hv))
+    t = _pipe(lambda: jp(blocks, *luts))
+    print(f"full pack from blocks (split): {t*1e3:.1f} ms")
+
+    for KB in (8, 12):
+        try:
+            fnb = E._jit_color_packed_batch(mode, 0)
+            batch = jax.numpy.broadcast_to(dev, (KB, *dev.shape))
+            t = _pipe(lambda: fnb(batch, qy, qc, *luts), n=4)
+            print(f"batched x{KB} packed program: {t/KB*1e3:.1f} ms/img "
+                  f"({8.29/(t/KB):.0f} MPix/s)")
+        except Exception as e:
+            print(f"batched x{KB} failed: {type(e).__name__}: {e}")
+
+
 def _setup_decode_4k():
     """Parse a 4K q75 420 stream the way decoder.decode's sparse path does,
     returning everything the stage programs need."""
@@ -375,7 +419,8 @@ def main():
         "alive": cmd_alive, "dispatch": cmd_dispatch,
         "transfer": cmd_transfer, "transform": cmd_transform,
         "pack": cmd_pack, "encode": cmd_encode, "decode": cmd_decode,
-        "pack5": cmd_pack5, "decode_stages": cmd_decode_stages,
+        "pack5": cmd_pack5, "pack5b": cmd_pack5b,
+        "decode_stages": cmd_decode_stages,
     }
     names = sys.argv[1:] or ["alive"]
     if names == ["all"]:
