@@ -495,7 +495,8 @@ def _apply_exceptions(stream, payload, base: int, Ep: int, cap: int):
     )
 
 
-def densify_body(payload, B: int, Sp: int, Ep: int, Edp: int):
+def densify_body(payload, B: int, Sp: int, Ep: int, Edp: int,
+                 formulation: str = "prefix_gather"):
     """Traceable densify of the v2 sparse payload: uint32 words
     [counts 6b | ks 6b | vals 4b | dc-diff i8 | val_exc (u32+i16) |
     dc_exc (u32+i16)] -> (B, 64) int32 zig-zag blocks. Pure function of the
@@ -533,22 +534,67 @@ def densify_body(payload, B: int, Sp: int, Ep: int, Edp: int):
     dcd = _apply_exceptions(dcd, payload, off, Edp, B)
     dc = jnp.cumsum(dcd)
 
-    # Block id per sparse element: element e belongs to the last block
-    # whose start offset is <= e. Start offsets land as marks (duplicates
-    # from empty blocks stack), cumsum counts "starts <= e". Sp > S keeps
-    # every real element's id exact; padding elements resolve to the last
-    # block with value 0 — a no-op add.
-    starts = jnp.cumsum(counts) - counts
-    marks = jnp.zeros((Sp,), jnp.int32).at[
-        jnp.clip(starts, 0, Sp - 1)
-    ].add(1, indices_are_sorted=True)
-    block_id = jnp.cumsum(marks) - 1
-
     kcol = jnp.arange(64, dtype=jnp.int32)[None, :]
     contrib = jnp.where(kcol == ks[:, None], vals[:, None], 0)
-    rows = jax.ops.segment_sum(
-        contrib, block_id, num_segments=B, indices_are_sorted=True
-    )
+    starts = jnp.cumsum(counts) - counts
+
+    if formulation == "segment_sum":
+        # r4 formulation, kept for A/B: block id per sparse element via a
+        # start-offset marks scatter + cumsum, then a sorted segment-sum of
+        # the one-hot contributions. The segment-sum's scatter-add measured
+        # as ~the whole 11.4 ms densify on the v5e (tools/tpu_probe.py
+        # decode_stages, r5).
+        marks = jnp.zeros((Sp,), jnp.int32).at[
+            jnp.clip(starts, 0, Sp - 1)
+        ].add(1, indices_are_sorted=True)
+        block_id = jnp.cumsum(marks) - 1
+        rows = jax.ops.segment_sum(
+            contrib, block_id, num_segments=B, indices_are_sorted=True
+        )
+    elif formulation == "prefix_mxu":
+        # prefix_gather with the column cumsum built as a TWO-LEVEL scan:
+        # within-chunk prefix sums are a lower-triangular ones-matmul on
+        # the MXU (bf16 hi/lo 6-bit planes of the <=11-bit coefficients —
+        # 0/1 x <=2^6 products with f32 accumulation over 128 terms are
+        # exact), chunk offsets are a tiny cumsum over Sp/128 rows. XLA's
+        # own cumsum is log2(Sp) shifted-add passes over the (Sp, 64)
+        # array (~GBs of traffic); this is one MXU pass + one small scan.
+        C = 128
+        spp = -(-Sp // C) * C
+        c3 = jnp.pad(contrib, ((0, spp - Sp), (0, 0))).reshape(-1, C, 64)
+        hi = jax.lax.shift_right_arithmetic(c3, 6)
+        lo = c3 - (hi << 6)
+        tri = jnp.tril(jnp.ones((C, C), jnp.bfloat16))
+        scan_hi = jnp.einsum(
+            "ij,njk->nik", tri, hi.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        scan_lo = jnp.einsum(
+            "ij,njk->nik", tri, lo.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        within = (scan_hi << 6) + scan_lo                  # (nc, C, 64)
+        totals = within[:, -1, :]                          # (nc, 64)
+        offs = jnp.cumsum(totals, axis=0) - totals         # (nc, 64)
+        p = (within + offs[:, None, :]).reshape(spp, 64)[:Sp]
+        p = jnp.concatenate([jnp.zeros((1, 64), contrib.dtype), p], axis=0)
+        rows = jnp.take(p, starts + counts, axis=0) - jnp.take(
+            p, starts, axis=0)
+    elif formulation == "prefix_gather":
+        # Scatter-free (r5 default): per-block sums over CONTIGUOUS stream
+        # ranges are prefix-sum differences — one int32 column cumsum over
+        # (Sp, 64) plus two SORTED row gathers at the block start/end
+        # offsets (the op class the v5e runs at full bandwidth, unlike
+        # scatter's ~120M updates/s). Element block membership is implicit
+        # in [starts[b], starts[b]+counts[b]) — no marks scatter, no
+        # block_id. int32 wraparound keeps the difference exact even if
+        # the running sum drifts past 2^31 (per-block sums are < 2^17).
+        # Padding elements (vals 0) sit past every block's range — no-ops
+        # either way.
+        p = jnp.cumsum(contrib, axis=0)
+        p = jnp.concatenate([jnp.zeros((1, 64), contrib.dtype), p], axis=0)
+        rows = jnp.take(p, starts + counts, axis=0) - jnp.take(
+            p, starts, axis=0)
+    else:
+        raise ValueError(f"unknown densify formulation {formulation!r}")
     # Real AC positions are 1..63, so column 0 is free for the DC.
     return rows.at[:, 0].set(dc)
 

@@ -278,6 +278,34 @@ def cmd_pack5b():
             print(f"batched x{KB} failed: {type(e).__name__}: {e}")
 
 
+def cmd_stream5():
+    """encode_stream standard vs optimize_tables sustained rate (VERDICT r4
+    item 9): the optimized mode adds one histogram program per image on a
+    shared upload; on an upload-bound link the sustained delta should be
+    small while the bytes shrink."""
+    import numpy as np
+    from bench import make_image
+    from jpeg_tpu.parallel.pipeline import encode_stream
+
+    img = make_image(2160, 3840)
+    N = 8
+
+    def imgs():
+        for i in range(N):
+            yield np.roll(img, 29 * i, axis=0)
+
+    for label, kw in (("standard", {}), ("optimize_tables",
+                                        {"optimize_tables": True})):
+        list(encode_stream([img], quality=75, subsampling="420", **kw))
+        t0 = time.time()
+        outs = list(encode_stream(imgs(), quality=75, subsampling="420",
+                                  **kw))
+        el = time.time() - t0
+        mb = sum(len(o) for o in outs) / 1e6
+        print(f"encode_stream {label}: {N * 8.2944 / el:.1f} MPix/s "
+              f"sustained, {mb:.2f} MB total")
+
+
 def _setup_decode_4k():
     """Parse a 4K q75 420 stream the way decoder.decode's sparse path does,
     returning everything the stage programs need."""
@@ -420,7 +448,7 @@ def main():
         "transfer": cmd_transfer, "transform": cmd_transform,
         "pack": cmd_pack, "encode": cmd_encode, "decode": cmd_decode,
         "pack5": cmd_pack5, "pack5b": cmd_pack5b,
-        "decode_stages": cmd_decode_stages,
+        "decode_stages": cmd_decode_stages, "stream5": cmd_stream5,
     }
     names = sys.argv[1:] or ["alive"]
     if names == ["all"]:
