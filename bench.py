@@ -568,6 +568,22 @@ def child(platform: str) -> None:
             batch64_rate = batch64_n * mpix / el
             log(f"encode 64x4K stream (config 4): {batch64_n}/64 images in "
                 f"{el:.1f} s -> {batch64_rate:.1f} MPix/s sustained")
+            # Insurance interim: if the tunnel wedges before the final
+            # line, the parent still salvages the config-4 row and the
+            # decode rates measured above.
+            interim["encode_batch64_mpix_s"] = round(batch64_rate, 2)
+            interim["encode_batch64_images"] = batch64_n
+            for key, val in (
+                ("decode_program_mpix_s", dec_program_rate),
+                ("decode_pipelined_mpix_s", dec_sustained_rate),
+                ("decode_batched_mpix_s", dec_batched_rate),
+                ("decode_to_host_mpix_s", dec_rate),
+                ("decode_ycbcr_to_host_mpix_s", dec_ycbcr_rate),
+            ):
+                if val is not None:
+                    interim[key] = round(val, 2)
+            interim["partial"] = "killed after config-4 row"
+            print(json.dumps(interim), flush=True)
         except Exception as e:
             log(f"batch64 row failed: {type(e).__name__}: {e}")
 
