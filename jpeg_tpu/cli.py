@@ -26,6 +26,9 @@ def _add_encode_flags(p):
                    help="per-image Annex-K.2 Huffman tables")
     p.add_argument("--grayscale", action="store_true",
                    help="encode luma only")
+    p.add_argument("--progressive", action="store_true",
+                   help="progressive (SOF2) stream: libjpeg's standard "
+                        "scan script, per-scan optimal tables")
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace of the encode here")
 
@@ -109,11 +112,21 @@ def main(argv=None) -> int:
             tracer = contextlib.nullcontext()
         t0 = time.time()
         with tracer:
-            data = encode(
-                img, quality=args.quality, subsampling=args.subsampling,
-                restart_interval=args.restart_interval,
-                optimize_tables=args.optimize_tables,
-            )
+            if args.progressive:
+                from jpeg_tpu.models.progressive_enc import encode_progressive
+
+                if args.restart_interval:
+                    raise SystemExit(
+                        "--progressive does not emit restart intervals")
+                data = encode_progressive(
+                    img, quality=args.quality,
+                    subsampling=args.subsampling)
+            else:
+                data = encode(
+                    img, quality=args.quality, subsampling=args.subsampling,
+                    restart_interval=args.restart_interval,
+                    optimize_tables=args.optimize_tables,
+                )
         dt = time.time() - t0
         with open(args.output, "wb") as f:
             f.write(data)

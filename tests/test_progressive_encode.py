@@ -91,6 +91,31 @@ def test_progressive_invalid_scripts(tiger):
         encode_progressive(img, scans=(((0,), 0, 5, 0, 0),))  # DC with Se>0
 
 
+def test_cli_progressive_encode(tmp_path, tiger):
+    import os
+    import subprocess
+    import sys
+
+    from jpeg_tpu.io import bmp as bmp_io
+
+    src = tmp_path / "t.bmp"
+    src.write_bytes(bmp_io.encode_bmp(tiger[:48, :64]))
+    out = tmp_path / "t.jpg"
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    p = subprocess.run(
+        [sys.executable, "-m", "jpeg_tpu", "encode", str(src), str(out),
+         "--progressive", "-q", "80"],
+        capture_output=True, text=True, env=env, timeout=180,
+    )
+    assert p.returncode == 0, p.stderr[-1500:]
+    data = out.read_bytes()
+    assert b"\xff\xc2" in data[:200]
+    np.testing.assert_array_equal(
+        _pil(data), _pil(encode(tiger[:48, :64], 80, subsampling="420")))
+
+
 def test_progressive_size_sane(tiger):
     # Per-scan optimal tables generally compress at least comparably to
     # baseline with standard tables.
