@@ -288,16 +288,21 @@ def child(platform: str) -> None:
             stages["host_ms"] = best_of_stage(lambda: jfif.write_jpeg(
                 w, h, comps, {0: qy_np, 1: qc_np}, htables,
                 bitpack.finalize_stream(w_host, [t])))
-        # Same-window end-to-end latency so the stage table reconciles
-        # against a row measured in ITS OWN tunnel weather (VERDICT r4
-        # weak 5: the top-level encode_latency_ms is sampled minutes
-        # earlier and the link's rate swings ~5x between windows; stage
-        # sums against it were nonsense). Compute stages are pipelined
-        # x16 (dispatch floor amortized); transfer stages and this row
-        # are single-shot best-of, so e2e ~ h2d + transform + pack + d2h
-        # + host + one ~22-45 ms dispatch floor.
-        t0 = time.time()
-        device_encode()
+        # Same-window end-to-end latency (pixels on host -> JFIF bytes,
+        # including the upload) so the stage table reconciles against a
+        # row measured in ITS OWN tunnel weather (VERDICT r4 weak 5: the
+        # top-level encode_latency_ms is sampled minutes earlier and the
+        # link's rate swings ~5x between windows; stage sums against it
+        # were nonsense). Compute stages are pipelined x16 (dispatch
+        # floor amortized); transfer stages and this row are single-shot
+        # best-of, so e2e ~ h2d + transform + pack + d2h + host + one
+        # ~22-45 ms dispatch floor.
+        if use_device_pack:
+            t0 = time.time()
+            finalize(fn(jax.device_put(img), qy, qc, *luts))
+        else:
+            t0 = time.time()
+            device_encode()
         stages["e2e_same_window_ms"] = round((time.time() - t0) * 1e3, 1)
         log(f"encode stages: {stages}")
     except Exception as e:
@@ -450,6 +455,13 @@ def child(platform: str) -> None:
                 fin = finish_ycbcr(planes)
                 assert np.array_equal(fin, host_out), \
                     "ycbcr host finish != device RGB on this chip"
+                # Same-window A/B: both sides are FULL fresh decodes
+                # (walk + upload + program + transfer), back to back, so
+                # the only difference is 12.4 vs 24.9 MB on the wire plus
+                # the host finish.
+                t0 = time.time()
+                np.asarray(decode(jpg, entropy=entropy))
+                rgb_s = time.time() - t0
                 t0 = time.time()
                 fin = finish_ycbcr(decode(jpg, entropy=entropy,
                                           output="ycbcr"))
@@ -457,7 +469,8 @@ def child(platform: str) -> None:
                 dec_ycbcr_rate = mpix / yc_s
                 log(f"decode (ycbcr planes to host + host finish, exact): "
                     f"{yc_s*1e3:.1f} ms -> {dec_ycbcr_rate:.1f} MPix/s "
-                    f"(same-window speedup {dec_s/yc_s:.2f}x)")
+                    f"(vs full rgb-to-host {rgb_s*1e3:.1f} ms in the same "
+                    f"window: {rgb_s/yc_s:.2f}x)")
             except Exception as e:
                 log(f"ycbcr decode row failed: {type(e).__name__}: {e}")
 

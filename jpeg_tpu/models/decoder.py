@@ -143,26 +143,45 @@ class YCbCrPlanes(typing.NamedTuple):
 
 
 def _finish_planes(y_zz, cb_zz, cr_zz, qy, qcb, qcr, shapes,
-                   use_pallas: bool = False, k: int = 8):
+                   use_pallas: bool = False, k: int = 8,
+                   flat: bool = False):
     """Device half of the ycbcr output: per-component integer sample planes
     (the exact values _finish_color would feed its upsample/color tail),
-    as uint8."""
-    return tuple(
+    as uint8. flat=True returns ONE concatenated 1-D buffer instead of a
+    tuple — the to-host case fetches it in a single d2h (three separate
+    plane fetches each pay this container's per-transfer tunnel cost; a
+    degrading window measured them at seconds apiece)."""
+    planes = tuple(
         _reconstruct_plane(zz, q, shape, use_pallas, k).astype(jnp.uint8)
         for zz, q, shape in zip(
             (y_zz, cb_zz, cr_zz), (qy, qcb, qcr), shapes)
     )
+    if flat:
+        return jnp.concatenate([p.reshape(-1) for p in planes])
+    return planes
+
+
+def _split_flat_planes(buf: np.ndarray, shapes, k: int):
+    """Host inverse of _finish_planes(flat=True)."""
+    out = []
+    off = 0
+    for hb, wb in shapes:
+        h, w = hb * k, wb * k
+        out.append(buf[off:off + h * w].reshape(h, w))
+        off += h * w
+    return tuple(out)
 
 
 @functools.cache
-def _jit_finish_planes(shapes, use_pallas=False, k=8):
+def _jit_finish_planes(shapes, use_pallas=False, k=8, flat=False):
     return jax.jit(functools.partial(
-        _finish_planes, shapes=shapes, use_pallas=use_pallas, k=k))
+        _finish_planes, shapes=shapes, use_pallas=use_pallas, k=k,
+        flat=flat))
 
 
 @functools.cache
 def _jit_finish_planes_sparse(B, Sp, Ep, Edp, comp_ranges, raster_geo,
-                              shapes, use_pallas, k):
+                              shapes, use_pallas, k, flat=False):
     """Sparse one-program twin of _jit_finish_planes: densify + reorder +
     per-component plane reconstruction, stopping before upsample/color."""
 
@@ -174,7 +193,8 @@ def _jit_finish_planes_sparse(B, Sp, Ep, Edp, comp_ranges, raster_geo,
             if geo is not None:
                 s = layout.scan_to_raster(s, *geo)
             zz.append(s)
-        return _finish_planes(*zz, qy, qcb, qcr, shapes, use_pallas, k)
+        return _finish_planes(*zz, qy, qcb, qcr, shapes, use_pallas, k,
+                              flat)
 
     return jax.jit(program)
 
@@ -681,6 +701,7 @@ def decode(data: bytes, fancy_upsample: bool = True,
                 "stores RGB components)")
         hlim = layout.ceil_div(info.height, scale_denom)
         wlim = layout.ceil_div(info.width, scale_denom)
+        flat = not device_output  # one d2h transfer for the to-host case
         if sparse_fused is not None:
             payload, B, Sp, Ep, Edp = sparse_fused
             ranges, geo, base = [], [], 0
@@ -692,13 +713,13 @@ def decode(data: bytes, fancy_upsample: bool = True,
                 base += bpm * n_mcu
             planes = _jit_finish_planes_sparse(
                 B, Sp, Ep, Edp, tuple(ranges), tuple(geo), shapes,
-                bool(use_pallas), k,
+                bool(use_pallas), k, flat,
             )(jnp.asarray(payload), *qtabs)
         else:
-            planes = _jit_finish_planes(shapes, bool(use_pallas), k)(
+            planes = _jit_finish_planes(shapes, bool(use_pallas), k, flat)(
                 *(jnp.asarray(z) for z in zz), *qtabs)
-        if not device_output:
-            planes = tuple(np.asarray(p) for p in planes)
+        if flat:
+            planes = _split_flat_planes(np.asarray(planes), shapes, k)
         return YCbCrPlanes(tuple(planes), hlim, wlim, factors, fancy)
     if sparse_fused is not None:
         payload, B, Sp, Ep, Edp = sparse_fused
