@@ -287,6 +287,8 @@ def encode_progressive(
         grids = (img.shape[0] // 8, img.shape[1] // 8)
         script = SCRIPT_GRAY if scans is None else scans
         qtabs = [(0, qy_np)]
+        # One component: the 8-aligned grid IS the spec block raster.
+        spec_blocks = comp_blocks
     else:
         img = tile.pad_to_multiple(
             jnp.asarray(image), mode.mcu_height, mode.mcu_width)
@@ -304,6 +306,21 @@ def encode_progressive(
         script = SCRIPT_COLOR if scans is None else scans
 
         qtabs = [(0, qy_np), (1, qc_np)]
+        # Non-interleaved (single-component) scans code ONLY the
+        # component's own ceil(size/8) block raster (spec A.2.2) — the
+        # MCU-padding block columns/rows that interleaved scans carry are
+        # NOT coded. Crop each component's padded (gh, gw) grid to its
+        # spec (bh, bw); emitting the padded grid desyncs every decoder
+        # (ours and libjpeg) at the first width-padded row.
+        hmax, vmax = mode.h_factor, mode.v_factor
+        spec_blocks = []
+        for ci, ((h_f, v_f), blocks) in enumerate(zip(hvs, comp_blocks)):
+            gh, gw = grids[0] * v_f, grids[1] * h_f
+            cw = -(-w0 * h_f // hmax)
+            ch = -(-h0 * v_f // vmax)
+            bh, bw = -(-ch // 8), -(-cw // 8)
+            spec_blocks.append(
+                blocks.reshape(gh, gw, 64)[:bh, :bw].reshape(-1, 64))
 
     # --- record every scan, with per-scan optimal tables ---------------
     rendered = []  # (sos_payload, dht_segments, scan_bytes)
@@ -315,7 +332,11 @@ def encode_progressive(
         if not is_dc and len(comp_idx) != 1:
             raise ValueError("AC scans must be single-component (G.1.1.1.1)")
         if is_dc:
-            it = _mcu_iter(comp_blocks, comp_idx, grids, hvs)
+            # Multi-component DC scans interleave the full MCU grid;
+            # single-component scans (DC or AC) are non-interleaved and
+            # code the component's spec block raster only.
+            src = comp_blocks if len(comp_idx) > 1 else spec_blocks
+            it = _mcu_iter(src, comp_idx, grids, hvs)
             if ah == 0:
                 _emit_dc_first(rec, it, tids, al)
             else:
@@ -324,9 +345,9 @@ def encode_progressive(
             ci = comp_idx[0]
             tid = tids[ci]
             if ah == 0:
-                _emit_ac_first(rec, comp_blocks[ci], tid, ss, se, al)
+                _emit_ac_first(rec, spec_blocks[ci], tid, ss, se, al)
             else:
-                _emit_ac_refine(rec, comp_blocks[ci], tid, ss, se, al)
+                _emit_ac_refine(rec, spec_blocks[ci], tid, ss, se, al)
 
         freq = rec.counts()
         tabs = {tid: huffman.optimal_table(h) for tid, h in freq.items()}

@@ -51,6 +51,29 @@ def test_progressive_odd_geometry(tiger):
            encode(img, quality=85, subsampling="420"))
 
 
+@pytest.mark.parametrize("shape", [(42, 52), (16, 52), (42, 16), (9, 9)])
+def test_progressive_mcu_padding_geometry(tiger, shape):
+    """Non-interleaved scans code only the component's ceil(size/8) block
+    raster (spec A.2.2) — NOT the MCU-padded grid. A width that pads to an
+    extra luma block column (e.g. 52 -> 64 at 4:2:0) desyncs every decoder
+    if the padding blocks are emitted; fuzz found it, this pins it."""
+    img = np.ascontiguousarray(tiger[: shape[0], : shape[1]])
+    _check(img, encode_progressive(img, quality=25, subsampling="420"),
+           encode(img, quality=25, subsampling="420"))
+
+
+def test_progressive_fuzz_geometry_quality(tiger):
+    rng = np.random.default_rng(7)
+    for _ in range(8):
+        h = int(rng.integers(8, 70))
+        w = int(rng.integers(8, 70))
+        q = int(rng.choice([1, 25, 75, 95]))
+        sub = str(rng.choice(["444", "422", "420"]))
+        img = np.ascontiguousarray(tiger[:h, :w])
+        _check(img, encode_progressive(img, quality=q, subsampling=sub),
+               encode(img, quality=q, subsampling=sub))
+
+
 def test_progressive_gray(tiger):
     img = tiger[:64, :64, 1]
     _check(img, encode_progressive(img, quality=75), encode(img, 75))
