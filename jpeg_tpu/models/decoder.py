@@ -229,27 +229,61 @@ def _np_upsample(x: np.ndarray, fv: int, fh: int, fan: bool) -> np.ndarray:
     return x
 
 
-def finish_ycbcr(p: YCbCrPlanes) -> np.ndarray:
+def _finish_ycbcr_rows(p: YCbCrPlanes, r0: int, r1: int) -> np.ndarray:
+    """finish_ycbcr for output rows [r0, r1): each component upsamples a
+    halo-padded row slice and crops to the stripe, so the result is
+    bit-identical to the full-array computation (the triangular filter has
+    1-row support per doubling; the 4-row halo covers factors <= 4, and
+    true top/bottom edges keep their replication semantics because the
+    slice reaches the array edge there)."""
+    planes = []
+    for plane, (fh, fv), fan in zip(p.planes, p.factors, p.fancy):
+        plane = np.asarray(plane)
+        lo = max(0, r0 // fv - 4)
+        hi = min(plane.shape[0], -(-r1 // fv) + 4)
+        x = plane[lo:hi].astype(np.float32)
+        if fh > 1 or fv > 1:
+            x = _np_upsample(x, fv, fh, fan)
+        planes.append(x[r0 - lo * fv: r1 - lo * fv])
+    w = min(pl.shape[1] for pl in planes)
+    ycc = np.stack([pl[:, :w] for pl in planes], axis=-1)
+    x = ycc - color.YCBCR_OFFSET
+    rgb = x @ color.YCBCR_TO_RGB.T.astype(np.float32)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def finish_ycbcr(p: YCbCrPlanes, threads: int | None = None) -> np.ndarray:
     """Host finish for decode(output="ycbcr"): upsample + YCbCr->RGB +
     round/clip + crop, bit-identical to decode(output="rgb") on the same
     stream (pinned by tests/test_ycbcr_output.py). All host f32 ops mirror
     the device finish expression for expression: integer uint8 samples make
     the triangle weights exact quarter-integers and each color channel is
-    one f32 multiply-add chain in the same order as the device matmul
-    row."""
-    planes = []
-    for plane, (fh, fv), fan in zip(p.planes, p.factors, p.fancy):
-        x = np.asarray(plane).astype(np.float32)
-        if fh > 1 or fv > 1:
-            x = _np_upsample(x, fv, fh, fan)
-        planes.append(x)
-    h = min(pl.shape[0] for pl in planes)
-    w = min(pl.shape[1] for pl in planes)
-    ycc = np.stack([pl[:h, :w] for pl in planes], axis=-1)
-    x = ycc - color.YCBCR_OFFSET
-    rgb = x @ color.YCBCR_TO_RGB.T.astype(np.float32)
-    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    return out[: p.height, : p.width]
+    one f32 multiply-add chain in the same order as the device matmul row.
+
+    Runs in row stripes on a thread pool (NumPy releases the GIL): the
+    single-threaded finish costs ~400 ms for 4K, which would eat most of
+    the halved-transfer win this output exists for. threads=1 forces the
+    serial path; stripes are halo-exact, so thread count never changes
+    bytes."""
+    y_rows = max(int(np.asarray(p.planes[0]).shape[0]), p.height)
+    if threads is None:
+        import os
+
+        threads = min(8, os.cpu_count() or 1)
+    if threads <= 1 or y_rows < 256:
+        return _finish_ycbcr_rows(p, 0, p.height)[:, : p.width]
+    from concurrent.futures import ThreadPoolExecutor
+
+    step = -(-p.height // threads)
+    # Stripe boundaries on even rows: keeps every chroma doubling's
+    # a/b sample pairing identical to the full computation.
+    step += step % 2
+    spans = [(r, min(r + step, p.height))
+             for r in range(0, p.height, step)]
+    with ThreadPoolExecutor(len(spans)) as pool:
+        parts = list(pool.map(
+            lambda s: _finish_ycbcr_rows(p, s[0], s[1]), spans))
+    return np.concatenate(parts, axis=0)[:, : p.width]
 
 
 def _finish_cmyk(zz1, zz2, zz3, zz4, q1, q2, q3, q4, shapes, factors,
