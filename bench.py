@@ -456,16 +456,20 @@ def child(platform: str) -> None:
                 assert np.array_equal(fin, host_out), \
                     "ycbcr host finish != device RGB on this chip"
                 # Same-window A/B: both sides are FULL fresh decodes
-                # (walk + upload + program + transfer), back to back, so
-                # the only difference is 12.4 vs 24.9 MB on the wire plus
-                # the host finish.
-                t0 = time.time()
-                np.asarray(decode(jpg, entropy=entropy))
-                rgb_s = time.time() - t0
-                t0 = time.time()
-                fin = finish_ycbcr(decode(jpg, entropy=entropy,
-                                          output="ycbcr"))
-                yc_s = time.time() - t0
+                # (walk + upload + program + transfer), ALTERNATED and
+                # best-of-2 — adjacent identical transfers on this tunnel
+                # swing ~3x, so a single-shot pair mostly measures
+                # weather drift. The only systematic difference is 12.4
+                # vs 24.9 MB on the wire plus the host finish.
+                rgb_s = yc_s = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    np.asarray(decode(jpg, entropy=entropy))
+                    rgb_s = min(rgb_s, time.time() - t0)
+                    t0 = time.time()
+                    fin = finish_ycbcr(decode(jpg, entropy=entropy,
+                                              output="ycbcr"))
+                    yc_s = min(yc_s, time.time() - t0)
                 dec_ycbcr_rate = mpix / yc_s
                 log(f"decode (ycbcr planes to host + host finish, exact): "
                     f"{yc_s*1e3:.1f} ms -> {dec_ycbcr_rate:.1f} MPix/s "
