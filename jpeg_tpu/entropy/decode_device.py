@@ -482,14 +482,21 @@ def _unpack_i8(words, n: int):
     return (b ^ 0x80) - 0x80
 
 
-def _apply_exceptions(stream, payload, base: int, Ep: int, cap: int):
-    """Add the (idx u32, val i16) exception stream onto `stream`. Sentinel'd
-    slots hold 0, so the sorted add reconstructs values exactly; padding
-    entries target cap-1 with value 0 (no-op adds keeping indices sorted)."""
+def _exception_pairs(payload, base: int, Ep: int):
+    """Decode the (idx u32, val i16) exception stream -> (idx, val) int32
+    arrays (the ONE home of the exception wire format)."""
     idx = jax.lax.bitcast_convert_type(payload[base:base + Ep], jnp.int32)
     evw = payload[base + Ep:base + Ep + Ep // 2]
     eh = jnp.stack([evw & 0xFFFF, evw >> 16], axis=1).reshape(-1)
     val = (eh.astype(jnp.int32) ^ 0x8000) - 0x8000
+    return idx, val
+
+
+def _apply_exceptions(stream, payload, base: int, Ep: int, cap: int):
+    """Add the (idx u32, val i16) exception stream onto `stream`. Sentinel'd
+    slots hold 0, so the sorted add reconstructs values exactly; padding
+    entries target cap-1 with value 0 (no-op adds keeping indices sorted)."""
+    idx, val = _exception_pairs(payload, base, Ep)
     return stream.at[jnp.clip(idx, 0, cap - 1)].add(
         val, indices_are_sorted=True
     )
@@ -525,13 +532,11 @@ def densify_body(payload, B: int, Sp: int, Ep: int, Edp: int,
     off += k6w
     v4 = _unpack_nib(payload[off:off + v4w], Sp)
     vals_nib = jnp.where(v4 == -8, 0, v4)
-    vals = vals_nib
     off += v4w
     d8 = _unpack_i8(payload[off:off + d8w], B)
     dcd = jnp.where(d8 == -128, 0, d8)
     off += d8w
     exc_off = off
-    vals = _apply_exceptions(vals, payload, off, Ep, Sp)
     off += Ep + Ep // 2
     dcd = _apply_exceptions(dcd, payload, off, Edp, B)
     dc = jnp.cumsum(dcd)
@@ -539,8 +544,15 @@ def densify_body(payload, B: int, Sp: int, Ep: int, Edp: int,
     kcol = jnp.arange(64, dtype=jnp.int32)[None, :]
     starts = jnp.cumsum(counts) - counts
 
-    contrib = jnp.where(kcol == ks[:, None], vals[:, None], 0)
+    def full_contrib():
+        # Post-exception element values -> (Sp, 64) one-hot contributions
+        # (the non-default formulations; prefix_gather stays int16
+        # pre-exception and never builds this).
+        vals = _apply_exceptions(vals_nib, payload, exc_off, Ep, Sp)
+        return jnp.where(kcol == ks[:, None], vals[:, None], 0)
+
     if formulation == "segment_sum":
+        contrib = full_contrib()
         # r4 formulation, kept for A/B: block id per sparse element via a
         # start-offset marks scatter + cumsum, then a sorted segment-sum of
         # the one-hot contributions. The segment-sum's scatter-add measured
@@ -554,6 +566,7 @@ def densify_body(payload, B: int, Sp: int, Ep: int, Edp: int,
             contrib, block_id, num_segments=B, indices_are_sorted=True
         )
     elif formulation == "prefix_mxu":
+        contrib = full_contrib()
         # prefix_gather with the column cumsum built as a TWO-LEVEL scan:
         # within-chunk prefix sums are a lower-triangular ones-matmul on
         # the MXU (bf16 hi/lo 6-bit planes of the <=11-bit coefficients —
@@ -610,11 +623,7 @@ def densify_body(payload, B: int, Sp: int, Ep: int, Edp: int,
         # few hundred, so the scatter-add is noise. Padding exceptions
         # carry value 0 (no-op adds; any k=0 target is overwritten by the
         # DC column set below).
-        eidx = jax.lax.bitcast_convert_type(
-            payload[exc_off:exc_off + Ep], jnp.int32)
-        evw = payload[exc_off + Ep:exc_off + Ep + Ep // 2]
-        eh = jnp.stack([evw & 0xFFFF, evw >> 16], axis=1).reshape(-1)
-        evals = (eh.astype(jnp.int32) ^ 0x8000) - 0x8000
+        eidx, evals = _exception_pairs(payload, exc_off, Ep)
         eclip = jnp.clip(eidx, 0, Sp - 1)
         eblk = jnp.clip(
             jnp.searchsorted(starts, eclip, side="right") - 1, 0, B - 1)

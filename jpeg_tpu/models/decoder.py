@@ -265,7 +265,11 @@ def finish_ycbcr(p: YCbCrPlanes, threads: int | None = None) -> np.ndarray:
     the halved-transfer win this output exists for. threads=1 forces the
     serial path; stripes are halo-exact, so thread count never changes
     bytes."""
-    y_rows = max(int(np.asarray(p.planes[0]).shape[0]), p.height)
+    # Materialize device planes ONCE up front — per-stripe np.asarray
+    # would re-fetch every plane per worker through the tunnel (r5 review
+    # finding). .shape needs no transfer.
+    p = p._replace(planes=tuple(np.asarray(pl) for pl in p.planes))
+    y_rows = max(int(p.planes[0].shape[0]), p.height)
     if threads is None:
         import os
 

@@ -428,6 +428,10 @@ def device_pack_retry(img, qy, qc, luts, mode: Subsampling, r: int,
     dispatch-count choice."""
     if skip_tree and use_pallas_pack:
         raise ValueError("skip_tree with use_pallas_pack would run no ladder")
+    if use_pallas_pack:
+        # The Pallas level-1 has no scale rungs — the dense hint would
+        # skip its ONLY program and return nothing (r5 review finding).
+        dense_hint = False
     ok = False
     words = totals = None
     scale = 2 if (skip_tree or dense_hint) else 1

@@ -381,7 +381,7 @@ def _level1_channels_fixed(blocks, tid: int, dc_code, dc_len, ac_code,
             preferred_element_type=jnp.float32,
         ).reshape(*oh.shape[:2], 3, 16)
         pp = jnp.sum(p * oh_sz[:, :, None, :], axis=-1).astype(jnp.int32)
-        sel = ((pp[..., 0] << pbits) + pp[..., 1] << pbits) + pp[..., 2]
+        sel = (((pp[..., 0] << pbits) + pp[..., 1]) << pbits) + pp[..., 2]
     else:
         oh = jax.nn.one_hot(run & 15, 16, dtype=oh_dtype)     # (B, 63, 16)
         oh_sz = jax.nn.one_hot(size, 16, dtype=jnp.float32)

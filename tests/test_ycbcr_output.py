@@ -63,6 +63,22 @@ def test_ycbcr_entropy_backends(tiger):
         np.testing.assert_array_equal(got, base)
 
 
+def test_ycbcr_threaded_finish_tall_image(tiger):
+    """The threaded stripe path only engages above 256 output rows — the
+    tiger fixture is 240, so without this tall case the halo-exactness
+    invariant ('thread count never changes bytes') went untested (r5
+    review finding)."""
+    from jpeg_tpu.models.decoder import finish_ycbcr as fy
+
+    tall = np.tile(tiger, (2, 1, 1))[:437]  # 437 rows, odd height
+    for sub in ("420", "422"):
+        jpg = encode(tall, quality=80, subsampling=sub)
+        planes = decode(jpg, output="ycbcr")
+        serial = fy(planes, threads=1)
+        np.testing.assert_array_equal(serial, fy(planes, threads=4))
+        np.testing.assert_array_equal(serial, decode(jpg))
+
+
 def test_ycbcr_rejections(tiger):
     gray = encode(tiger[:32, :32, 0], quality=80)
     with pytest.raises(ValueError):
