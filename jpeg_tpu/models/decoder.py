@@ -939,15 +939,20 @@ def decode_batched(datas, fancy_upsample: bool = True,
     # after each payload upload — program i computes while payload i+1's
     # transfer rides the in-order link (VERDICT r4 item 5: cross-batch
     # double-buffering). Shared buckets keep this at ONE compiled program
-    # for the whole batch.
+    # for the whole batch; the host-side payload builds run on a worker
+    # thread so build i+1 overlaps dispatch i too.
     fn = _jit_finish_color_sparse(
         B, Sp, Ep, Edp, tuple(ranges), tuple(geo), shapes, factors,
         fancy, False, is_rgb, k,
     )
-    outs = []
-    for wlk in walks:
-        dev = jax.device_put(decode_device.build_payload(*wlk, Sp, Ep, Edp))
-        outs.append(fn(dev, *qtabs)[:hlim, :wlim])
+    with ThreadPoolExecutor(2) as pool:
+        futs = [
+            pool.submit(
+                lambda wlk=wlk: jax.device_put(
+                    decode_device.build_payload(*wlk, Sp, Ep, Edp)))
+            for wlk in walks
+        ]
+        outs = [fn(f.result(), *qtabs)[:hlim, :wlim] for f in futs]
     if device_output:
         return jnp.stack(outs)
     # Per-image host fetches drain in dispatch order, overlapping the
