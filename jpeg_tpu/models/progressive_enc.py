@@ -24,6 +24,13 @@ The quantized coefficients are byte-for-byte the ones baseline encode()
 emits (same transform path), so progressive and sequential streams decode
 to identical pixels; tests pin our decoder and PIL pixel-identical on the
 output.
+
+Scope note: the transform runs on the device (the same jitted pipeline as
+baseline encode), but scan emission is host Python — progressive encoding
+is a capability/compatibility surface here, not a throughput path (the
+bench paths are baseline sequential; libjpeg's own progressive encoder is
+also its slow path). A C++ scan emitter in native/entropy.cc is the
+obvious extension if progressive output ever becomes hot.
 """
 
 from __future__ import annotations
