@@ -945,14 +945,21 @@ def decode_batched(datas, fancy_upsample: bool = True,
         B, Sp, Ep, Edp, tuple(ranges), tuple(geo), shapes, factors,
         fancy, False, is_rgb, k,
     )
-    with ThreadPoolExecutor(2) as pool:
-        futs = [
-            pool.submit(
-                lambda wlk=wlk: jax.device_put(
-                    decode_device.build_payload(*wlk, Sp, Ep, Edp)))
-            for wlk in walks
-        ]
-        outs = [fn(f.result(), *qtabs)[:hlim, :wlim] for f in futs]
+    def _build(wlk):
+        return jax.device_put(decode_device.build_payload(*wlk, Sp, Ep, Edp))
+
+    outs = []
+    with ThreadPoolExecutor(1) as pool:
+        # Bounded two-deep prefetch: submit build i+1 while consuming i,
+        # so at most two payloads are in flight (true double-buffering —
+        # an all-upfront submit would hold every payload resident at
+        # once).
+        nxt = pool.submit(_build, walks[0])
+        for wlk in walks[1:]:
+            dev = nxt.result()
+            nxt = pool.submit(_build, wlk)
+            outs.append(fn(dev, *qtabs)[:hlim, :wlim])
+        outs.append(fn(nxt.result(), *qtabs)[:hlim, :wlim])
     if device_output:
         return jnp.stack(outs)
     # Per-image host fetches drain in dispatch order, overlapping the

@@ -68,14 +68,12 @@ def test_ycbcr_threaded_finish_tall_image(tiger):
     tiger fixture is 240, so without this tall case the halo-exactness
     invariant ('thread count never changes bytes') went untested (r5
     review finding)."""
-    from jpeg_tpu.models.decoder import finish_ycbcr as fy
-
     tall = np.tile(tiger, (2, 1, 1))[:437]  # 437 rows, odd height
     for sub in ("420", "422"):
         jpg = encode(tall, quality=80, subsampling=sub)
         planes = decode(jpg, output="ycbcr")
-        serial = fy(planes, threads=1)
-        np.testing.assert_array_equal(serial, fy(planes, threads=4))
+        serial = finish_ycbcr(planes, threads=1)
+        np.testing.assert_array_equal(serial, finish_ycbcr(planes, threads=4))
         np.testing.assert_array_equal(serial, decode(jpg))
 
 
