@@ -220,9 +220,15 @@ def _transform_color_packed(
         # Fused channel-wise level 1 straight from coefficients (no
         # materialized record stream) + block->MCU shift-combine + per-MCU
         # level-2 tree (bitpack.pack_blocks_tree) — per-MCU budget
-        # bpm*128*scale bits AND per-block budget 288*scale bits (fallback
-        # beyond).
-        mcu_w = bpm * 4 * scale
+        # bpm*160*scale bits (192 on the dense rungs) AND per-block budget
+        # 288*scale bits (fallback beyond). Budget provenance (r5, real
+        # photographic assets): tiger/cam q75 peak at 867/938 bits/MCU —
+        # the r4 bpm*128 budget made EVERY real photo fail its first
+        # dispatch and pay the ~18 ms retry; bpm*160 = 960 fits them in
+        # one. The dense rungs use bpm*192*scale so q95 photos (tiger
+        # 1960, cam 1867 bits/MCU) fit the scale-2 program the dense hint
+        # dispatches first; q98 (2576/2403) rungs once more to scale 4.
+        mcu_w = bpm * (5 if scale == 1 else 6) * scale
         if r == 0 or r >= n_mcu:
             nwords = nblocks * wpb + 2
             words, total, ok = bitpack.pack_blocks_tree(

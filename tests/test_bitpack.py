@@ -298,6 +298,35 @@ def test_adaptive_scale_retry_keeps_q95_on_device(tiger):
     assert a == b
 
 
+def test_q95_dense_hint_single_dispatch(tiger, monkeypatch):
+    """VERDICT r4 item 6 (one-pass budget selection): encode(quality=95)
+    predicts dense content from the quantizer and dispatches the scale-2
+    tree program FIRST — zero failed scale-1 dispatches. The spy records
+    every packed-program selection the encoder makes."""
+    from jpeg_tpu.models import encoder as E
+
+    calls = []
+    orig = E._jit_color_packed.__wrapped__  # un-cached builder
+
+    def spy(mode, r, pallas=False, group="tree", scale=1):
+        calls.append((group, scale))
+        return orig(mode, r, pallas, group, scale)
+
+    monkeypatch.setattr(E, "_jit_color_packed", spy)
+    a = encode(tiger, quality=95, subsampling="420", device_pack=True)
+    # ONE dispatch, straight to the scale-2 program (tiger q95 peaks at
+    # 1960 bits/MCU < the dense rung's 6*192*2 budget).
+    assert calls == [("tree", 2)], calls
+    calls.clear()
+    encode(tiger, quality=75, subsampling="420", device_pack=True)
+    # Real photographic q75 fits the widened bpm*160-bit scale-1 budget in
+    # one dispatch too (it peaked over the old bpm*128 budget and paid a
+    # doomed dispatch + retry every time).
+    assert calls == [("tree", 1)], calls
+    assert a == encode(tiger, quality=95, subsampling="420",
+                       device_pack=False)
+
+
 def test_encode_batched_matches_per_image(tiger):
     """Public encode_batched == per-image encode() bytes, on both the
     per-image fallback and the forced batched-program path."""
