@@ -182,7 +182,11 @@ def child(platform: str) -> None:
             batch = jnp.broadcast_to(dev_img, (KB, *dev_img.shape))
             sync(fnb(batch, qy, qc, *luts))  # warm
             t0 = time.time()
-            reps = 2
+            # 4 dispatches in flight: the tunnel's dispatch-stream floor
+            # amortizes as ~38/n ms per CALL (CLAUDE.md measurement rule —
+            # 2 dispatches carried ~2.4 ms/img of pure RPC floor in this
+            # row).
+            reps = 4
             ob = None
             for _ in range(reps):
                 ob = fnb(batch, qy, qc, *luts)
