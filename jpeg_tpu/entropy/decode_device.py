@@ -786,6 +786,32 @@ def sparse_payload(
             counts.shape[0], Sp, Ep, Edp)
 
 
+def sparse_payload_from_blocks(blocks_list):
+    """Build the sparse upload payload from already-decoded dense (N, 64)
+    zig-zag block arrays (one per component, DC at column 0 ABSOLUTE).
+
+    The progressive decoder's device finish uses this (r5): its C++/NumPy
+    scan walkers produce dense per-component grids, and uploading those as
+    int32 coefficients costs ~50 MB for a 4K frame on the host link — the
+    sparse payload is ~1.3 MB and feeds the SAME fused densify+finish
+    program as the baseline path (with no scan->raster reorder, since the
+    grids are already raster). Returns (payload, B, Sp, Ep, Edp)."""
+    dense = np.concatenate([np.asarray(b) for b in blocks_list], axis=0)
+    dense = dense.astype(np.int32, copy=False)
+    ac = dense[:, 1:]
+    rows, cols = np.nonzero(ac)
+    vals = ac[rows, cols].astype(np.int16)
+    ks = (cols + 1).astype(np.uint8)  # zig-zag position 1..63
+    counts = np.bincount(rows, minlength=dense.shape[0]).astype(np.int32)
+    dc = dense[:, 0].astype(np.int32)
+    Sp = sparse_bucket(vals.shape[0])
+    Ep = exception_bucket(int(np.count_nonzero(np.abs(
+        vals.astype(np.int32)) > 7)))
+    Edp = exception_bucket(dc_diff_exceptions(dc))
+    return (build_payload(vals, ks, counts, dc, Sp, Ep, Edp),
+            dense.shape[0], Sp, Ep, Edp)
+
+
 def decode_scan_sparse(
     scan: bytes,
     mcu_count: int,

@@ -548,6 +548,13 @@ def _decode_noninterleaved(info: jfif.FrameInfo, mcu_rows: int, mcu_cols: int,
     return out
 
 
+def _want_sparse_upload() -> bool:
+    """Whether decode() should re-encode dense raster coefficient grids as
+    the sparse payload before the device finish (transfer-bound non-CPU
+    backends). Split out so tests can force the path on CPU."""
+    return jax.default_backend() != "cpu"
+
+
 def decode(data: bytes, fancy_upsample: bool = True,
            use_pallas: bool = False,
            max_pixels: int | None = 2_000_000_000,
@@ -706,6 +713,25 @@ def decode(data: bytes, fancy_upsample: bool = True,
     else:
         zz = _decode_noninterleaved(info, mcu_rows, mcu_cols, entropy)
 
+    # Dense raster grids (progressive streams, host entropy backends,
+    # multi-scan) re-encode as the sparse payload when a non-CPU device is
+    # attached (r5): uploading a 4K frame's int32 coefficient grids costs
+    # ~50 MB on the host link vs ~1.3 MB sparse, and the payload feeds the
+    # SAME fused densify+finish program — with no scan->raster reorder
+    # stage, since these grids are already raster (zz_raster flags the
+    # range builders below to skip it). Bits are identical either way.
+    zz_raster = False
+    if (zz is not None and len(comps) == 3 and _want_sparse_upload()
+            and all(isinstance(z, np.ndarray) for z in zz)):
+        # Host grids only: the "device"/"indexed" entropy backends hand
+        # back device-resident arrays — converting those would force a
+        # full dense download just to re-upload a payload.
+        payload, B, Sp, Ep, Edp = decode_device.sparse_payload_from_blocks(
+            [np.asarray(z) for z in zz])
+        sparse_fused = (payload, B, Sp, Ep, Edp)
+        zz = None
+        zz_raster = True
+
     shapes = tuple((mcu_rows * c.v, mcu_cols * c.h) for c in comps)
     factors = tuple((hmax // c.h, vmax // c.v) for c in comps)
     qtabs = [jnp.asarray(info.qtables[c.qtab_id]) for c in comps]
@@ -747,7 +773,8 @@ def decode(data: bytes, fancy_upsample: bool = True,
                 bpm = c.h * c.v
                 ranges.append((base, base + bpm * n_mcu))
                 geo.append(
-                    (mcu_rows, mcu_cols, c.v, c.h) if bpm > 1 else None)
+                    (mcu_rows, mcu_cols, c.v, c.h)
+                    if bpm > 1 and not zz_raster else None)
                 base += bpm * n_mcu
             planes = _jit_finish_planes_sparse(
                 B, Sp, Ep, Edp, tuple(ranges), tuple(geo), shapes,
@@ -765,7 +792,8 @@ def decode(data: bytes, fancy_upsample: bool = True,
         for c in comps:
             bpm = c.h * c.v
             ranges.append((base, base + bpm * n_mcu))
-            geo.append((mcu_rows, mcu_cols, c.v, c.h) if bpm > 1 else None)
+            geo.append((mcu_rows, mcu_cols, c.v, c.h)
+                       if bpm > 1 and not zz_raster else None)
             base += bpm * n_mcu
         out = _jit_finish_color_sparse(
             B, Sp, Ep, Edp, tuple(ranges), tuple(geo), shapes, factors,

@@ -349,3 +349,58 @@ def test_unknown_entropy_backend_rejected(tiger):
     data = encoder.encode(tiger, quality=75)
     with pytest.raises(ValueError):
         decode(data, entropy="gpu")
+
+
+def test_sparse_payload_from_blocks_roundtrip(tiger):
+    """r5: dense raster coefficient grids -> sparse payload -> densify must
+    reproduce the grids exactly (the progressive/host-entropy decode paths
+    ride this conversion onto the fused sparse program, turning a ~50 MB
+    dense coefficient upload into the ~1.3 MB payload)."""
+    import jax.numpy as jnp
+
+    from jpeg_tpu.entropy import decode_device as dd
+    from jpeg_tpu.io import jfif
+    from jpeg_tpu.models import layout as L
+
+    jpg = encoder.encode(tiger, quality=85, subsampling="4:2:0")
+    info = jfif.parse_jpeg(jpg)
+    comps = info.components
+    mcu_rows = L.ceil_div(info.height, 16)
+    mcu_cols = L.ceil_div(info.width, 16)
+    from jpeg_tpu.models import decoder as D
+
+    scans = D._decode_scan(
+        info, mcu_rows * mcu_cols,
+        [(i, c.h * c.v, c.dc_id, c.ac_id) for i, c in enumerate(comps)],
+        "numpy")
+    zz = [
+        L.scan_to_raster(s, mcu_rows, mcu_cols, c.v, c.h)
+        if c.h * c.v > 1 else s
+        for c, s in zip(comps, scans)
+    ]
+    payload, B, Sp, Ep, Edp = dd.sparse_payload_from_blocks(
+        [np.asarray(z) for z in zz])
+    rows = np.asarray(dd.densify_body(jnp.asarray(payload), B, Sp, Ep, Edp))
+    base = 0
+    for z in zz:
+        z = np.asarray(z)
+        np.testing.assert_array_equal(rows[base:base + len(z)], z)
+        base += len(z)
+
+
+def test_zz_raster_sparse_path_pixels(tiger, monkeypatch):
+    """Force the sparse-upload conversion on CPU: progressive and baseline
+    streams of the same image must decode to identical pixels through the
+    converted path, and match the dense path exactly (same CPU finish)."""
+    from jpeg_tpu.models import decoder as D
+    from jpeg_tpu.models.progressive_enc import encode_progressive
+
+    img = tiger[:53, :61]
+    prog = encode_progressive(img, quality=80, subsampling="420")
+    base = encoder.encode(img, quality=80, subsampling="420")
+    dense_prog = decode(prog)
+    monkeypatch.setattr(D, "_want_sparse_upload", lambda: True)
+    a = decode(prog)
+    b = decode(base, entropy="numpy")
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, dense_prog)
